@@ -1,0 +1,305 @@
+"""Field paths: the addressing language of the reference engine.
+
+Reimplements the semantics of ``entry/field.go:117-188`` (dot + bracket
+parsing) and the per-root Get/Set/Delete behavior of
+``entry/body_field.go:68-162`` / ``entry/attribute_field.go:67-160`` /
+``entry/resource_field.go:67-160`` as *compiled Spark Column
+accessors* — parsing happens once at plan time, never per row.
+
+Canonical entry representation (SURVEY.md section 1.4): the dynamic Go
+``Body interface{}`` splits into a raw string column ``text`` (the body
+while it is still an unparsed line) and a ``body: map<string,string>``
+column (the body once structured; nested values JSON-encoded).
+``attributes`` / ``resource`` are ``map<string,string>``.
+
+Key reference semantics reproduced:
+  - ``Set`` of a map value **merges** into the target subtree instead
+    of replacing it (``entry/body_field.go:88-132``): we use
+    ``map_concat`` with the new map last, so new keys win — the same
+    overwrite-on-collision order as the Go ``Merge``.
+  - Missing intermediate maps are auto-created (``entry/field.go:226-239``).
+  - ``attributes``/``resource`` roots cannot be Set to a scalar
+    (``entry/attribute_field.go:109-111``).
+  - whole-root deletion (``remove`` operator's rootableField,
+    ``operator/transformer/remove/rootable_field.go:29-72``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MAP_SS = T.MapType(T.StringType(), T.StringType())
+
+#: roots addressable by field paths; bare paths default to body
+#: (docs/types/field.md)
+MAP_ROOTS = ("body", "attributes", "resource")
+TOP_LEVEL = {
+    "timestamp": "ts",
+    "observed_timestamp": "observed_ts",
+    "severity": "severity",
+    "severity_text": "severity_text",
+    "scope_name": "scope_name",
+    "trace_id": "trace_id",
+    "span_id": "span_id",
+    "trace_flags": "trace_flags",
+}
+
+
+def _empty_map() -> Column:
+    return F.create_map().cast(MAP_SS)
+
+
+class FieldParseError(ValueError):
+    pass
+
+
+def _parse_path(raw: str) -> tuple[str, tuple[str, ...]]:
+    """Parse ``body.a.b`` / ``body["k8s.cluster.name"].x`` into
+    (root, keys). Small state machine mirroring entry/field.go:117-188."""
+    s = raw.strip()
+    if not s:
+        raise FieldParseError("empty field")
+    keys: list[str] = []
+    i, n = 0, len(s)
+    buf = ""
+    while i < n:
+        c = s[i]
+        if c == ".":
+            if buf:
+                keys.append(buf)
+                buf = ""
+            i += 1
+        elif c == "[":
+            if buf:
+                keys.append(buf)
+                buf = ""
+            j = s.find("]", i)
+            if j < 0:
+                raise FieldParseError(f"unterminated bracket in {raw!r}")
+            inner = s[i + 1 : j].strip()
+            if (inner.startswith('"') and inner.endswith('"')) or (
+                inner.startswith("'") and inner.endswith("'")
+            ):
+                inner = inner[1:-1]
+            keys.append(inner)
+            i = j + 1
+        else:
+            buf += c
+            i += 1
+    if buf:
+        keys.append(buf)
+    if not keys:
+        raise FieldParseError(f"cannot parse field {raw!r}")
+    root = keys[0]
+    if root in MAP_ROOTS or root in TOP_LEVEL:
+        return root, tuple(keys[1:])
+    # bare path defaults to body (docs/types/field.md)
+    return "body", tuple(keys)
+
+
+@dataclass(frozen=True)
+class Field:
+    """A compiled field path: ``root`` plus nested ``keys``."""
+
+    root: str
+    keys: tuple[str, ...] = ()
+
+    @classmethod
+    def parse(cls, raw: str) -> "Field":
+        root, keys = _parse_path(raw)
+        return cls(root, keys)
+
+    def __str__(self) -> str:
+        out = self.root
+        for k in self.keys:
+            out += f"['{k}']" if "." in k else f".{k}"
+        return out
+
+    # ---- GET ------------------------------------------------------
+
+    def get(self) -> Column:
+        """Column reading this field from the canonical entry frame.
+
+        ``body`` root with no keys reads the *raw* string while the
+        structured body is unset (the usual parse_from case) and the
+        JSON projection of the structured body otherwise — mirroring
+        the dynamic Go body that starts life as the log line.
+        """
+        if self.root in TOP_LEVEL and not self.keys:
+            return F.col(TOP_LEVEL[self.root])
+        if self.root not in MAP_ROOTS:
+            raise FieldParseError(f"cannot read {self}")
+        if self.root == "body":
+            m = F.col("body")
+            if not self.keys:
+                return F.when(m.isNotNull(), F.to_json(m)).otherwise(F.col("text"))
+        else:
+            m = F.col(self.root)
+            if not self.keys:
+                return F.to_json(m)
+        head = F.try_element_at(m, F.lit(self.keys[0]))
+        if len(self.keys) == 1:
+            return head
+        # deeper levels live JSON-encoded inside the map value
+        return F.get_json_object(head, "$." + ".".join(self.keys[1:]))
+
+    # ---- SET ------------------------------------------------------
+    #
+    # Set/Delete return *column-update dicts* ({column_name: expression
+    # over the CURRENT frame}) rather than new DataFrames, so operators
+    # can compose several mutations (e.g. move = set + delete) into one
+    # select with no cross-frame references. ``cols`` is an optional
+    # view of already-pending updates to build on top of.
+
+    def _base(self, cols: dict[str, Column] | None, name: str) -> Column:
+        if cols and name in cols:
+            return cols[name]
+        return F.col(name)
+
+    def get_from(self, cols: dict[str, Column] | None) -> Column:
+        """Like get(), but honoring pending updates in ``cols``."""
+        if cols is None:
+            return self.get()
+        if self.root in TOP_LEVEL and not self.keys:
+            return self._base(cols, TOP_LEVEL[self.root])
+        m = self._base(cols, self.root)
+        if self.root == "body" and not self.keys:
+            return F.when(m.isNotNull(), F.to_json(m)).otherwise(
+                self._base(cols, "text")
+            )
+        if not self.keys:
+            return F.to_json(m)
+        head = F.try_element_at(m, F.lit(self.keys[0]))
+        if len(self.keys) == 1:
+            return head
+        return F.get_json_object(head, "$." + ".".join(self.keys[1:]))
+
+    def set_scalar(
+        self, value: Column, cols: dict[str, Column] | None = None
+    ) -> dict[str, Column]:
+        """Updates setting a scalar (string) value at this field. A
+        null ``value`` is a no-op (keeps the old value) — stages use
+        that to express `if`-predicate pass-through."""
+        v = value.cast(T.StringType())
+        if self.root in TOP_LEVEL and not self.keys:
+            name = TOP_LEVEL[self.root]
+            return {name: F.coalesce(value, self._base(cols, name))}
+        if self.root == "body" and not self.keys:
+            # whole-body replace by a scalar: body reverts to raw string
+            return {
+                "text": F.coalesce(v, self._base(cols, "text")),
+                "body": F.when(v.isNull(), self._base(cols, "body")).cast(MAP_SS),
+            }
+        if self.root in ("attributes", "resource") and not self.keys:
+            raise FieldParseError(
+                f"cannot set scalar at {self.root} root "
+                "(entry/attribute_field.go:109-111)"
+            )
+        return self._set_in_map(v, cols)
+
+    def set_map(
+        self, value: Column, cols: dict[str, Column] | None = None
+    ) -> dict[str, Column]:
+        """Merge a map<string,string> value at this field (the
+        parse_to path). Reference merge: entry/body_field.go:88-132.
+        Null value => no-op."""
+        if self.root not in MAP_ROOTS:
+            raise FieldParseError(f"cannot set map at {self}")
+        tgt = self._base(cols, self.root)
+        base = F.coalesce(tgt, _empty_map())
+        if not self.keys:
+            merged = F.when(value.isNotNull(), F.map_concat(base, value)).otherwise(tgt)
+            out = {self.root: merged}
+        elif len(self.keys) == 1:
+            k = self.keys[0]
+            # nested map is JSON-encoded at map key k; merge key-wise
+            existing = F.coalesce(
+                F.from_json(F.try_element_at(base, F.lit(k)), MAP_SS), _empty_map()
+            )
+            merged_nested = F.to_json(F.map_concat(existing, value))
+            merged = F.when(
+                value.isNotNull(),
+                F.map_concat(base, F.create_map(F.lit(k), merged_nested)),
+            ).otherwise(tgt)
+            out = {self.root: merged}
+        else:
+            raise FieldParseError(f"map set deeper than one level not supported: {self}")
+        # note: the raw `text` column is deliberately left intact when
+        # the body becomes structured — get() prefers the map, and the
+        # north rule's per-turn text equality audits the raw column
+        return out
+
+    def _set_in_map(
+        self, v: Column, cols: dict[str, Column] | None
+    ) -> dict[str, Column]:
+        tgt = self._base(cols, self.root)
+        base = F.coalesce(tgt, _empty_map())
+        if len(self.keys) == 1:
+            new = F.map_concat(base, F.create_map(F.lit(self.keys[0]), v))
+            return {self.root: F.when(v.isNotNull(), new).otherwise(tgt)}
+        # deeper: maintain the JSON-encoded nested object at keys[0]
+        k = self.keys[0]
+        nested = F.coalesce(
+            F.from_json(F.try_element_at(base, F.lit(k)), MAP_SS), _empty_map()
+        )
+        if len(self.keys) == 2:
+            nested2 = F.map_concat(nested, F.create_map(F.lit(self.keys[1]), v))
+            new = F.map_concat(base, F.create_map(F.lit(k), F.to_json(nested2)))
+            return {self.root: F.when(v.isNotNull(), new).otherwise(tgt)}
+        raise FieldParseError(f"set deeper than two levels not supported: {self}")
+
+    # ---- DELETE ---------------------------------------------------
+
+    def delete(
+        self,
+        cols: dict[str, Column] | None = None,
+        when: Column | None = None,
+    ) -> dict[str, Column]:
+        """Updates deleting this field, optionally gated on ``when``.
+        Whole-root deletion supported for all three roots
+        (rootable_field.go:29-72)."""
+        cond = when if when is not None else F.lit(True)
+
+        def gate(name: str, new: Column) -> Column:
+            return F.when(cond, new).otherwise(self._base(cols, name))
+
+        if self.root in TOP_LEVEL and not self.keys:
+            name = TOP_LEVEL[self.root]
+            return {name: gate(name, F.lit(None))}
+        if not self.keys:
+            out = {self.root: gate(self.root, F.lit(None).cast(MAP_SS))}
+            if self.root == "body":
+                out["text"] = gate("text", F.lit(None).cast(T.StringType()))
+            return out
+        m = self._base(cols, self.root)
+        if len(self.keys) == 1:
+            k = self.keys[0]
+            return {
+                self.root: gate(
+                    self.root, F.map_filter(m, lambda key, _v: key != F.lit(k))
+                )
+            }
+        if len(self.keys) == 2:
+            k0, k1 = self.keys
+            nested = F.from_json(F.try_element_at(m, F.lit(k0)), MAP_SS)
+            pruned = F.to_json(F.map_filter(nested, lambda key, _v: key != F.lit(k1)))
+            new = F.when(
+                nested.isNotNull(),
+                F.map_concat(
+                    F.map_filter(m, lambda key, _v: key != F.lit(k0)),
+                    F.create_map(F.lit(k0), pruned),
+                ),
+            ).otherwise(m)
+            return {self.root: gate(self.root, new)}
+        raise FieldParseError(f"delete deeper than two levels not supported: {self}")
+
+
+def apply_updates(df: DataFrame, updates: dict[str, Column]) -> DataFrame:
+    """Apply a column-update dict in one projection."""
+    if not updates:
+        return df
+    return df.withColumns(updates)

@@ -1,0 +1,489 @@
+"""Parser operators (SURVEY.md section 2.4).
+
+Shared contract, mirroring ParserOperator (operator/helper/parser.go:
+90-189): read ``parse_from`` (default ``body``), produce a
+``map<string,string>``, merge it into ``parse_to`` (default
+``attributes``) with the reference's merge-overwrite semantics, then
+run the embedded ``timestamp:``/``severity:``/``trace:``/
+``scope_name:`` sub-parsers. A failed main parse leaves the row intact
+(on_error=send forwards the *original* entry because the merge is
+null-guarded); a failed sub-parse forwards the partially-parsed entry,
+exactly like the reference checks errors only after all sub-parsers
+ran (parser.go:171-184).
+
+Execution strategy per parser (the Spark-first part):
+  - regex:     JVM-side ``rlike`` + ``regexp_extract`` per named group
+               (whole-stage codegen) — or one-pass Arrow-vectorized
+               ``Series.str.extract`` via ``impl='pandas'``.
+  - json:      Arrow-batched pandas UDF (the body is schemaless, like
+               the reference's map[string]interface{}); nested values
+               re-encoded as JSON strings per the canonical
+               map<string,string> representation.
+  - csv:       builtin ``from_csv`` for a static header (codegen);
+               pandas UDF when the header comes from an attribute
+               per row (csv.go:106-121) or strict field-count checking
+               is requested.
+  - key_value: builtin expression pipeline for an explicit
+               pair_delimiter; pandas UDF for the default quote-aware
+               whitespace splitting (keyvalue.go:130-139).
+  - uri:       pandas UDF over urllib (multi-valued query params need
+               map<string,list> which we JSON-encode, uri.go:129-163).
+  - syslog:    pandas UDF, RFC3164/RFC5424 regex state machine +
+               the fixed priority->severity table (syslog.go:225-272).
+
+The reference's per-input-string regex match cache
+(operator/parser/regex/cache.go:25-209) is deliberately absent:
+vectorized execution amortizes compilation, and a FIFO cache would be
+a serialization point across executor threads.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import re as _re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fields import MAP_SS, Field, apply_updates
+from ..pipeline import ColumnStage, register
+from .severity import SeverityParser
+from .time_parser import TimeParser
+from .trace_scope import ScopeNameParser, TraceParser
+
+
+class ParserStage(ColumnStage):
+    """Base for all parse_from/parse_to operators."""
+
+    def __init__(
+        self,
+        parse_from: str = "body",
+        parse_to: str = "attributes",
+        timestamp: dict | None = None,
+        severity: dict | None = None,
+        trace: dict | None = None,
+        scope_name: dict | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.parse_from = Field.parse(parse_from)
+        self.parse_to = Field.parse(parse_to)
+        self.subparsers = []
+        if timestamp:
+            self.subparsers.append(TimeParser(**timestamp))
+        if severity:
+            self.subparsers.append(SeverityParser(**severity))
+        if trace:
+            self.subparsers.append(TraceParser(**(trace or {})))
+        if scope_name:
+            self.subparsers.append(ScopeNameParser(**scope_name))
+
+    def parse(self, src: Column) -> Column:
+        """Return map<string,string>, null when the parse fails."""
+        raise NotImplementedError
+
+    def transform(self, df: DataFrame, cond: Column):
+        src = self.parse_from.get().cast(T.StringType())
+        parsed = self.parse(src)
+        # null parse value => merge no-op => row forwarded unchanged
+        guarded = F.when(cond & src.isNotNull(), parsed)
+        err = src.isNull() | parsed.isNull()
+        df = apply_updates(df, self.parse_to.set_map(guarded))
+        for sub in self.subparsers:
+            df, sub_err = sub.embed_apply(df, cond)
+            if sub_err is not None:
+                err = err | F.coalesce(sub_err, F.lit(False))
+        return df, err
+
+
+# --------------------------------------------------------------------
+# regex_parser — operator/parser/regex/regex.go:43-146
+# --------------------------------------------------------------------
+
+
+@register("regex_parser")
+class RegexParserStage(ParserStage):
+    def __init__(self, regex: str, impl: str = "builtin", **kw):
+        super().__init__(**kw)
+        compiled = _re.compile(regex)
+        if not compiled.groupindex:
+            # build fails without named groups (regex.go:69-75)
+            raise ValueError("regex pattern must contain named capture groups")
+        self.groups = dict(compiled.groupindex)  # name -> group index
+        self.pattern_py = regex
+        # Java forbids '_' in group names; extraction is by index, so
+        # the Java-side pattern drops the names entirely
+        self.pattern_java = _re.sub(r"\(\?P<[^>]+>", "(", regex)
+        self.impl = impl
+
+    def parse(self, src: Column) -> Column:
+        if self.impl == "pandas":
+            pat = self.pattern_py
+
+            @F.pandas_udf(MAP_SS)
+            def extract(s: pd.Series) -> pd.Series:
+                rx = _re.compile(pat)
+
+                def one(x):
+                    if x is None:
+                        return None
+                    m = rx.search(x)
+                    if m is None:
+                        return None  # non-match is an error (regex.go:124-126)
+                    # non-participating groups parse to "" like Go's
+                    # matches[i] for an optional group
+                    return {k: m.group(k) or "" for k in rx.groupindex}
+
+                return s.map(one)
+
+            return extract(src)
+        matched = src.rlike(self.pattern_java)
+        entries: list[Column] = []
+        for name, idx in self.groups.items():
+            entries.append(F.lit(name))
+            entries.append(F.regexp_extract(src, self.pattern_java, idx))
+        return F.when(matched, F.create_map(*entries))
+
+
+# --------------------------------------------------------------------
+# json_parser — operator/parser/json/json.go:41-82
+# --------------------------------------------------------------------
+
+
+@register("json_parser")
+class JsonParserStage(ParserStage):
+    def parse(self, src: Column) -> Column:
+        @F.pandas_udf(MAP_SS)
+        def parse_json(s: pd.Series) -> pd.Series:
+            def one(x):
+                if x is None:
+                    return None
+                try:
+                    obj = _json.loads(x)
+                except (ValueError, TypeError):
+                    return None
+                if not isinstance(obj, dict):
+                    # non-map JSON is a parse error (json.go:70-82)
+                    return None
+                return {
+                    str(k): v
+                    if isinstance(v, str)
+                    else _json.dumps(v, separators=(",", ":"), sort_keys=True)
+                    for k, v in obj.items()
+                }
+
+            return s.map(one)
+
+        return parse_json(src)
+
+
+# --------------------------------------------------------------------
+# csv_parser — operator/parser/csv/csv.go:43-200
+# --------------------------------------------------------------------
+
+
+@register("csv_parser")
+class CsvParserStage(ParserStage):
+    def __init__(
+        self,
+        header: str | None = None,
+        header_attribute: str | None = None,
+        delimiter: str = ",",
+        lazy_quotes: bool = False,
+        strict: bool = False,
+        **kw,
+    ):
+        super().__init__(**kw)
+        if (header is None) == (header_attribute is None):
+            raise ValueError("exactly one of header / header_attribute required")
+        if len(delimiter) != 1:
+            raise ValueError("delimiter must be a single character (csv.go)")
+        self.header = [h.strip() for h in header.split(delimiter)] if header else None
+        self.header_attribute = header_attribute
+        self.delimiter = delimiter
+        self.lazy_quotes = lazy_quotes
+        self.strict = strict
+
+    def parse(self, src: Column) -> Column:
+        if self.header is not None and not self.strict:
+            # fast path: whole-stage-codegen CSV decode
+            schema = ", ".join(f"`{h}` string" for h in self.header)
+            struct = F.from_csv(src, schema, {"sep": self.delimiter})
+            ok = struct.isNotNull()
+            for h in self.header:
+                ok = ok & struct.getField(h).isNotNull()
+            entries: list[Column] = []
+            for h in self.header:
+                entries.append(F.lit(h))
+                entries.append(struct.getField(h))
+            return F.when(ok, F.create_map(*entries))
+        delim = self.delimiter
+        static_header = self.header
+
+        if self.header_attribute is not None:
+            hdr_col = F.try_element_at(F.col("attributes"), F.lit(self.header_attribute))
+        else:
+            hdr_col = F.lit(delim.join(static_header))
+
+        @F.pandas_udf(MAP_SS)
+        def parse_csv(s: pd.Series, hdr: pd.Series) -> pd.Series:
+            import csv as _csv
+            import io as _io
+
+            def one(x, h):
+                if x is None or h is None:
+                    return None
+                cols = [c.strip() for c in h.split(delim)]
+                try:
+                    row = next(_csv.reader(_io.StringIO(x), delimiter=delim))
+                except (StopIteration, _csv.Error):
+                    return None
+                if len(row) != len(cols):
+                    # wrong field count is an error (csv.go:154-180)
+                    return None
+                return dict(zip(cols, row))
+
+            return pd.Series(
+                [one(x, h) for x, h in zip(s, hdr)], index=s.index, dtype=object
+            )
+
+        return parse_csv(src, hdr_col)
+
+
+# --------------------------------------------------------------------
+# key_value_parser — operator/parser/keyvalue/keyvalue.go:36-139
+# --------------------------------------------------------------------
+
+_QUOTE_AWARE_PAIR = _re.compile(r'(?:[^\s"\']+|"[^"]*"|\'[^\']*\')+')
+
+
+@register("key_value_parser")
+class KeyValueParserStage(ParserStage):
+    def __init__(self, delimiter: str = "=", pair_delimiter: str | None = None, **kw):
+        super().__init__(**kw)
+        if not delimiter:
+            raise ValueError("delimiter must not be empty")
+        self.delimiter = delimiter
+        self.pair_delimiter = pair_delimiter
+
+    def _trim(self, c: Column) -> Column:
+        # trim space then quotes, like keyvalue.go's cleanup
+        return F.regexp_replace(
+            F.regexp_replace(F.trim(c), '^["\']', ""), '["\']$', ""
+        )
+
+    def parse(self, src: Column) -> Column:
+        delim = self.delimiter
+        if self.pair_delimiter is not None:
+            # builtin expression pipeline: split pairs, SplitN(2) each
+            pairs = F.split(src, _re.escape(self.pair_delimiter))
+            kv = F.transform(
+                pairs,
+                lambda p: F.struct(
+                    self._trim(F.substring_index(p, delim, 1)).alias("key"),
+                    self._trim(
+                        F.substring(
+                            p,
+                            F.length(F.substring_index(p, delim, 1))
+                            + F.lit(len(delim) + 1),
+                            F.length(p),
+                        )
+                    ).alias("value"),
+                ),
+            )
+            # a pair without the delimiter is malformed -> whole parse
+            # errors (multierror aborts ParseWith)
+            bad = F.exists(pairs, lambda p: ~p.contains(delim))
+            return F.when(src.isNotNull() & ~bad, F.map_from_entries(kv))
+
+        d = delim
+
+        @F.pandas_udf(MAP_SS)
+        def parse_kv(s: pd.Series) -> pd.Series:
+            def trim(x: str) -> str:
+                x = x.strip()
+                if len(x) >= 2 and x[0] == x[-1] and x[0] in "\"'":
+                    return x[1:-1]
+                return x.strip("\"'")
+
+            def one(x):
+                if x is None:
+                    return None
+                out = {}
+                for pair in _QUOTE_AWARE_PAIR.findall(x):
+                    if d not in pair:
+                        return None  # malformed pair -> parse error
+                    k, _, v = pair.partition(d)
+                    out[trim(k)] = trim(v)
+                return out or None
+
+            return s.map(one)
+
+        return parse_kv(src)
+
+
+# --------------------------------------------------------------------
+# uri_parser — operator/parser/uri/uri.go:36-163
+# --------------------------------------------------------------------
+
+
+@register("uri_parser")
+class UriParserStage(ParserStage):
+    def parse(self, src: Column) -> Column:
+        @F.pandas_udf(MAP_SS)
+        def parse_uri(s: pd.Series) -> pd.Series:
+            from urllib.parse import parse_qs, urlsplit
+
+            def qmap(q: str) -> str:
+                parsed = parse_qs(q, keep_blank_values=True)
+                return _json.dumps(parsed, separators=(",", ":"), sort_keys=True)
+
+            def one(x):
+                if x is None:
+                    return None
+                try:
+                    # bare query string (uri.go:79-97)
+                    if x.startswith("?"):
+                        return {"query": qmap(x[1:])}
+                    u = urlsplit(x)
+                except ValueError:
+                    return None
+                out = {}
+                # empties omitted (uri.go:99-127)
+                if u.scheme:
+                    out["scheme"] = u.scheme
+                if u.username:
+                    out["user"] = u.username
+                if u.hostname:
+                    out["host"] = u.hostname
+                if u.port:
+                    out["port"] = str(u.port)
+                if u.path:
+                    out["path"] = u.path
+                if u.query:
+                    out["query"] = qmap(u.query)
+                return out or None
+
+            return s.map(one)
+
+        return parse_uri(src)
+
+
+# --------------------------------------------------------------------
+# syslog_parser — operator/parser/syslog/syslog.go:39-272
+# --------------------------------------------------------------------
+
+_RFC5424 = _re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<version>\d{1,2}) "
+    r"(?P<ts>\S+) (?P<hostname>\S+) (?P<appname>\S+) "
+    r"(?P<proc_id>\S+) (?P<msg_id>\S+) "
+    r"(?P<sd>-|(?:\[[^\]]*\])+)(?: (?P<message>.*))?$"
+)
+
+_RFC3164 = _re.compile(
+    r"^<(?P<pri>\d{1,3})>(?P<ts>[A-Z][a-z]{2} [ \d]\d \d{2}:\d{2}:\d{2}) "
+    r"(?P<hostname>\S+) (?P<tag>[^\[:\s]+)(?:\[(?P<proc_id>\d+)\])?:? ?"
+    r"(?P<message>.*)$"
+)
+
+# fixed 0-7 priority table (syslog.go:225-250)
+_SYSLOG_SEVERITY = [21, 19, 18, 17, 13, 10, 9, 5]
+_SYSLOG_SEVERITY_TEXT = [
+    "emerg", "alert", "crit", "err", "warning", "notice", "info", "debug",
+]
+
+
+@register("syslog_parser")
+class SyslogParserStage(ParserStage):
+    def __init__(self, protocol: str = "rfc3164", **kw):
+        super().__init__(**kw)
+        if protocol not in ("rfc3164", "rfc5424"):
+            raise ValueError(f"unsupported protocol {protocol!r}")
+        self.protocol = protocol
+
+    def parse(self, src: Column) -> Column:
+        proto = self.protocol
+
+        @F.pandas_udf(MAP_SS)
+        def parse_syslog(s: pd.Series) -> pd.Series:
+            def one(x):
+                if x is None:
+                    return None
+                rx = _RFC5424 if proto == "rfc5424" else _RFC3164
+                m = rx.match(x)
+                if m is None:
+                    return None
+                pri = int(m.group("pri"))
+                out = {
+                    "priority": str(pri),
+                    "facility": str(pri // 8),
+                    "severity": str(pri % 8),
+                    "hostname": m.group("hostname"),
+                    "message": m.group("message") or "",
+                    "timestamp": m.group("ts"),
+                }
+                if proto == "rfc5424":
+                    out["version"] = m.group("version")
+                    for k in ("appname", "proc_id", "msg_id"):
+                        v = m.group(k)
+                        if v != "-":
+                            out[k] = v
+                    sd = m.group("sd")
+                    if sd != "-":
+                        out["structured_data"] = sd
+                else:
+                    out["appname"] = m.group("tag")
+                    if m.group("proc_id"):
+                        out["proc_id"] = m.group("proc_id")
+                # '-' hostname means nil in rfc5424
+                if out.get("hostname") == "-":
+                    del out["hostname"]
+                return out
+
+            return s.map(one)
+
+        return parse_syslog(src)
+
+    def transform(self, df: DataFrame, cond: Column):
+        df, err = super().transform(df, cond)
+        # postprocess: attributes.severity (0-7) -> entry severity via
+        # the fixed table, then drop the helper keys (syslog.go:252-272)
+        attrs = F.col("attributes")
+        sev_raw = F.try_element_at(attrs, F.lit("severity")).try_cast(T.IntegerType())
+        sev_map = F.create_map(
+            *[
+                c
+                for i in range(8)
+                for c in (F.lit(str(i)), F.lit(_SYSLOG_SEVERITY[i]))
+            ]
+        )
+        text_map = F.create_map(
+            *[
+                c
+                for i in range(8)
+                for c in (F.lit(str(i)), F.lit(_SYSLOG_SEVERITY_TEXT[i]))
+            ]
+        )
+        ok = cond & sev_raw.isNotNull()
+        df = df.withColumn(
+            "severity",
+            F.when(ok, F.try_element_at(sev_map, sev_raw.cast(T.StringType())))
+            .otherwise(F.col("severity")),
+        )
+        df = df.withColumn(
+            "severity_text",
+            F.when(ok, F.try_element_at(text_map, sev_raw.cast(T.StringType())))
+            .otherwise(F.col("severity_text")),
+        )
+        df = df.withColumn(
+            "attributes",
+            F.when(
+                ok,
+                F.map_filter(
+                    attrs, lambda k, _v: k != F.lit("severity")
+                ),
+            ).otherwise(attrs),
+        )
+        return df, err

@@ -1,0 +1,161 @@
+"""recombine — multiline stitching as a window + grouped aggregation.
+
+The reference (operator/transformer/recombine/recombine.go:37-335) is
+the one genuinely stateful operator: it buffers consecutive entries
+per source and flushes batches on boundary matches. In batch Spark the
+whole history is visible, so the state machine collapses into pure
+window arithmetic (SURVEY.md section 2.5):
+
+  group_id  = running sum of boundary matches over
+              Window.partitionBy(source).orderBy(order_keys)
+  sub_id    = row_number for pre-first-boundary rows in is_first mode
+              (each such row flushes alone, recombine.go:236-242)
+  batch_id  = floor(position_in_group / max_batch_size)
+              (forced flush every max_batch_size, recombine.go:269-274)
+
+then ONE groupBy((source, group_id, sub_id, batch_id)) with
+  - ``min_by``/``max_by`` of the full row struct for
+    ``overwrite_with: oldest|newest`` base-entry selection
+    (recombine.go:298-306)
+  - sorted ``collect_list`` -> ``array_join`` for the
+    ``combine_with``-separated concatenation (recombine.go:308-322)
+
+The wall-clock guards (force_flush_period timer, max_sources spill,
+recombine.go:152-176,260-267) exist because the agent cannot see the
+future; a batch engine doesn't need them. Their streaming analogue is
+a watermark + applyInPandasWithState timeout (see streaming/).
+
+Shuffle budget: 2 exchanges (window sort by source, then group hash).
+Upstream repartition(hash(conv_id)) makes the first exchange the only
+data movement for the usual source=conv_id case at scale; skewed
+conversations are bounded by max_batch_size sub-splitting, which caps
+any single group at max_batch_size rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..exprs import compile_bool
+from ..fields import Field, apply_updates
+from ..pipeline import Stage, register
+
+
+@register("recombine")
+class RecombineStage(Stage):
+    type_name = "recombine"
+
+    def __init__(
+        self,
+        combine_field: str,
+        is_first_entry: str | None = None,
+        is_last_entry: str | None = None,
+        combine_with: str = "\n",
+        max_batch_size: int = 1000,
+        overwrite_with: str = "oldest",
+        source_identifier: str = 'attributes["file.path"]',
+        order_by: list[str] | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        if (is_first_entry is None) == (is_last_entry is None):
+            # exactly one boundary expr (recombine.go:71-77)
+            raise ValueError("exactly one of is_first_entry / is_last_entry required")
+        if overwrite_with not in ("oldest", "newest"):
+            raise ValueError(f"invalid overwrite_with {overwrite_with!r}")
+        self.combine_field = Field.parse(combine_field)
+        self.is_first = is_first_entry
+        self.is_last = is_last_entry
+        self.combine_with = combine_with
+        self.max_batch_size = int(max_batch_size)
+        self.overwrite_with = overwrite_with
+        self.source_identifier = Field.parse(source_identifier)
+        self.order_by = order_by
+
+    def _order_cols(self, df: DataFrame) -> list[str]:
+        if self.order_by:
+            return self.order_by
+        # transcripts carry the stable per-conversation order key
+        if "turn_idx" in df.columns:
+            return ["ts", "turn_idx"] if "ts" in df.columns else ["turn_idx"]
+        return ["ts"]
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order = self._order_cols(df)
+        # missing source -> shared default bucket (recombine.go:212-221)
+        src = F.coalesce(
+            self.source_identifier.get().cast(T.StringType()),
+            F.lit("DefaultSourceIdentifier"),
+        )
+        matched = F.coalesce(
+            compile_bool(self.is_first or self.is_last), F.lit(False)
+        )
+        df = df.withColumn("_src", src).withColumn("_match", matched)
+
+        w = Window.partitionBy("_src").orderBy(*[F.col(c) for c in order])
+        if self.is_first is not None:
+            grp = F.sum(F.col("_match").cast(T.IntegerType())).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            # boundary CLOSES the group: count of matches strictly before
+            grp = F.coalesce(
+                F.sum(F.col("_match").cast(T.IntegerType())).over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        df = df.withColumn("_grp", grp)
+        if self.is_first is not None:
+            # rows before any first-boundary flush alone (recombine.go:236-242)
+            rn = F.row_number().over(w)
+            df = df.withColumn(
+                "_sub", F.when(F.col("_grp") == 0, rn).otherwise(F.lit(0))
+            )
+        else:
+            df = df.withColumn("_sub", F.lit(0))
+        pos = (
+            F.row_number().over(
+                Window.partitionBy("_src", "_grp", "_sub").orderBy(
+                    *[F.col(c) for c in order]
+                )
+            )
+            - 1
+        )
+        df = df.withColumn(
+            "_batch", F.floor(pos / F.lit(self.max_batch_size))
+        )
+
+        entry_cols = [
+            c for c in df.columns if c not in ("_src", "_match", "_grp", "_sub", "_batch")
+        ]
+        ord_struct = F.struct(*[F.col(c) for c in order])
+        row_struct = F.struct(*[F.col(c) for c in entry_cols])
+        val = self.combine_field.get().cast(T.StringType())
+
+        base_agg = (
+            F.min_by(row_struct, ord_struct)
+            if self.overwrite_with == "oldest"
+            else F.max_by(row_struct, ord_struct)
+        )
+        pieces = F.array_sort(
+            F.collect_list(F.struct(ord_struct.alias("o"), val.alias("v")))
+        )
+        combined = F.array_join(
+            F.transform(pieces, lambda x: x.getField("v")), self.combine_with
+        )
+
+        agg = (
+            df.groupBy("_src", "_grp", "_sub", "_batch")
+            .agg(base_agg.alias("_base"), combined.alias("_combined"))
+        )
+        out = agg.select(
+            *[F.col("_base").getField(c).alias(c) for c in entry_cols],
+            F.col("_combined"),
+        )
+        out = apply_updates(
+            out, self.combine_field.set_scalar(F.col("_combined"))
+        )
+        return out.drop("_combined")

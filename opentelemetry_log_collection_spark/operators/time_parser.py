@@ -1,0 +1,175 @@
+"""time_parser — strptime/gotime/epoch/native timestamp parsing.
+
+Rebuilds operator/parser/time/time.go + operator/helper/time.go:42-296
+Spark-first: the strptime (ctimefmt) layout is translated ONCE at plan
+time to a Java DateTimeFormatter pattern — the same move the reference
+makes translating ctimefmt->Go layout at build (time.go:80-85) — and
+rows are parsed with builtin ``try_to_timestamp`` inside codegen.
+Epoch layouts (s, ms, us, ns, s.ms, s.us, s.ns; time.go:206-266)
+become pure arithmetic on try_cast'ed numerics.
+
+Missing-year inference (time.go:280-292): layouts without a year parse
+to year 1970 in Java; we rewrite the year to the *injected* reference
+clock's year, then subtract a year when the result lands more than 7
+days in the future. The reference uses time.Now() — we require an
+explicit ``now`` so runs are deterministic and resumable (SURVEY.md
+section 7.3 determinism-at-scale).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fields import Field
+from ..pipeline import ColumnStage, register
+
+#: strptime -> Java DateTimeFormatter, after ctimefmt
+#: (the reference's table lives in the observiq/ctimefmt dependency)
+_STRPTIME_TO_JAVA = {
+    "%Y": "yyyy", "%y": "yy",
+    "%m": "MM", "%o": "M", "%q": "M",
+    "%b": "MMM", "%h": "MMM", "%B": "MMMM",
+    "%d": "dd", "%e": "d", "%g": "d",
+    "%a": "EEE", "%A": "EEEE",
+    "%H": "HH", "%l": "h", "%I": "hh",
+    "%p": "a", "%P": "a",
+    "%M": "mm", "%S": "ss",
+    "%L": "SSS", "%f": "SSSSSS", "%s": "SSSSSSSSS",
+    "%Z": "zzz", "%z": "Z",
+    "%i": "XXX", "%j": "XX", "%k": "X",
+    "%D": "MM/dd/yyyy", "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss", "%r": "hh:mm:ss a",
+    "%n": "\n", "%t": "\t", "%%": "%",
+}
+
+_EPOCH_LAYOUTS = ("s", "ms", "us", "ns", "s.ms", "s.us", "s.ns")
+
+DEFAULT_NOW = "2024-06-01T00:00:00+00:00"
+
+
+def strptime_to_java(layout: str) -> str:
+    out = []
+    i = 0
+    while i < len(layout):
+        if layout[i] == "%" and i + 1 < len(layout):
+            tok = layout[i : i + 2]
+            if tok in _STRPTIME_TO_JAVA:
+                out.append(_STRPTIME_TO_JAVA[tok])
+                i += 2
+                continue
+            raise ValueError(f"unsupported strptime directive {tok!r}")
+        # literal chars that collide with Java pattern letters need quoting
+        c = layout[i]
+        if c.isalpha():
+            out.append(f"'{c}'")
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
+class TimeParser:
+    """Embeddable sub-parser; also the standalone operator's engine."""
+
+    def __init__(
+        self,
+        parse_from: str,
+        layout: str = "",
+        layout_type: str = "strptime",
+        now: str = DEFAULT_NOW,
+    ):
+        self.parse_from = Field.parse(parse_from)
+        self.layout_type = layout_type
+        self.layout = layout
+        self.now = _dt.datetime.fromisoformat(now)
+        if layout_type == "strptime":
+            self.java_layout = strptime_to_java(layout)
+            self.has_year = any(t in layout for t in ("%Y", "%y", "%D", "%F"))
+        elif layout_type == "gotime":
+            self.java_layout = _gotime_to_java(layout)
+            self.has_year = "2006" in layout or "06" in layout
+        elif layout_type == "epoch":
+            if layout not in _EPOCH_LAYOUTS:
+                raise ValueError(f"invalid epoch layout {layout!r}")
+            self.has_year = True
+        elif layout_type == "native":
+            self.has_year = True
+        else:
+            raise ValueError(f"unsupported layout_type {layout_type!r}")
+
+    def _parse_col(self, src: Column) -> Column:
+        lt = self.layout_type
+        if lt == "native":
+            return src.try_cast(T.TimestampType())
+        if lt == "epoch":
+            lay = self.layout
+            if lay in ("s", "s.ms", "s.us", "s.ns"):
+                # fractional seconds accepted for the s.* family
+                d = src.try_cast(T.DoubleType())
+                return F.timestamp_micros(
+                    F.floor(d * F.lit(1_000_000)).cast(T.LongType())
+                )
+            n = src.try_cast(T.LongType())
+            if lay == "ms":
+                return F.timestamp_millis(n)
+            if lay == "us":
+                return F.timestamp_micros(n)
+            return F.timestamp_micros(F.floor(n / F.lit(1000)).cast(T.LongType()))
+        ts = F.try_to_timestamp(src, F.lit(self.java_layout))
+        if self.has_year:
+            return ts
+        # year inference vs the injected reference clock
+        now_lit = F.lit(self.now.replace(tzinfo=None))
+        with_year = F.make_timestamp(
+            F.lit(self.now.year), F.month(ts), F.day(ts),
+            F.hour(ts), F.minute(ts), F.second(ts).cast(T.DoubleType()),
+        )
+        too_far = with_year > now_lit + F.expr("INTERVAL 7 DAYS")
+        return F.when(too_far, with_year - F.expr("INTERVAL 1 YEAR")).otherwise(with_year)
+
+    def embed_apply(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
+        src = self.parse_from.get().cast(T.StringType())
+        parsed = self._parse_col(src)
+        err = src.isNull() | parsed.isNull()
+        ok = cond & parsed.isNotNull()
+        df = df.withColumn("ts", F.when(ok, parsed).otherwise(F.col("ts")))
+        return df, err
+
+
+def _gotime_to_java(layout: str) -> str:
+    """Best-effort Go reference-time layout -> Java pattern for the
+    common tokens (full gotime is exotic; strptime is the primary path)."""
+    subs = [
+        ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
+        ("04", "mm"), ("05", "ss"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+        ("Jan", "MMM"), ("Monday", "EEEE"), ("Mon", "EEE"),
+        ("-07:00", "XXX"), ("-0700", "Z"), ("Z07:00", "XXX"), ("MST", "zzz"),
+        ("PM", "a"), ("06", "yy"), ("03", "hh"), ("3", "h"), ("2", "d"),
+    ]
+    out = layout
+    for go, java in subs:
+        out = out.replace(go, java)
+    return out
+
+
+@register("time_parser")
+class TimeParserStage(ColumnStage):
+    """Standalone operator (operator/parser/time/time.go:30-71)."""
+
+    def __init__(
+        self,
+        parse_from: str = "body",
+        layout: str = "",
+        layout_type: str = "strptime",
+        now: str = DEFAULT_NOW,
+        **kw,
+    ):
+        super().__init__(**kw)
+        self.parser = TimeParser(parse_from, layout, layout_type, now)
+
+    def transform(self, df: DataFrame, cond: Column):
+        return self.parser.embed_apply(df, cond)
