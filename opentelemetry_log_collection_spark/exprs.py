@@ -284,7 +284,33 @@ def compile_bool(expression: str) -> Column:
     return _as_bool(_parse(expression))
 
 
-_EXPR_TEMPLATE_RE = re.compile(r"EXPR\((.*?)\)")
+def _find_expr_spans(template: str) -> list[tuple[int, int, str]]:
+    """Locate EXPR(...) spans with balanced parens, quote-aware —
+    the same scan expr_string.go:39-104 does."""
+    spans = []
+    i = 0
+    while (start := template.find("EXPR(", i)) >= 0:
+        depth, j = 1, start + 5
+        quote = None
+        while j < len(template) and depth:
+            c = template[j]
+            if quote:
+                if c == "\\":
+                    j += 1
+                elif c == quote:
+                    quote = None
+            elif c in "\"'":
+                quote = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            j += 1
+        if depth:
+            raise ExprError(f"unbalanced EXPR() in {template!r}")
+        spans.append((start, j, template[start + 5 : j - 1]))
+        i = j
+    return spans
 
 
 def compile_template(template: str) -> Column:
@@ -292,11 +318,11 @@ def compile_template(template: str) -> Column:
     (operator/helper/expr_string.go:39-104)."""
     parts: list[Column] = []
     pos = 0
-    for m in _EXPR_TEMPLATE_RE.finditer(template):
-        if m.start() > pos:
-            parts.append(F.lit(template[pos : m.start()]))
-        parts.append(compile_expr(m.group(1)).cast(T.StringType()))
-        pos = m.end()
+    for start, end, inner in _find_expr_spans(template):
+        if start > pos:
+            parts.append(F.lit(template[pos:start]))
+        parts.append(compile_expr(inner).cast(T.StringType()))
+        pos = end
     if pos < len(template):
         parts.append(F.lit(template[pos:]))
     if not parts:

@@ -53,6 +53,18 @@ def _empty_map() -> Column:
     return F.create_map().cast(MAP_SS)
 
 
+def merge_maps(base: Column, new: Column) -> Column:
+    """Merge-overwrite: keys of ``new`` win (entry/body_field.go's
+    Merge). Expressed as filter+concat so no duplicate keys ever form —
+    Spark's default mapKeyDedupPolicy=EXCEPTION would throw on them,
+    and the engine must run on any caller-provided session."""
+    new_nn = F.coalesce(new, _empty_map())
+    kept = F.map_filter(
+        base, lambda k, _v: ~F.array_contains(F.map_keys(new_nn), k)
+    )
+    return F.map_concat(kept, new_nn)
+
+
 class FieldParseError(ValueError):
     pass
 
@@ -212,7 +224,7 @@ class Field:
         tgt = self._base(cols, self.root)
         base = F.coalesce(tgt, _empty_map())
         if not self.keys:
-            merged = F.when(value.isNotNull(), F.map_concat(base, value)).otherwise(tgt)
+            merged = F.when(value.isNotNull(), merge_maps(base, value)).otherwise(tgt)
             out = {self.root: merged}
         elif len(self.keys) == 1:
             k = self.keys[0]
@@ -220,10 +232,10 @@ class Field:
             existing = F.coalesce(
                 F.from_json(F.try_element_at(base, F.lit(k)), MAP_SS), _empty_map()
             )
-            merged_nested = F.to_json(F.map_concat(existing, value))
+            merged_nested = F.to_json(merge_maps(existing, value))
             merged = F.when(
                 value.isNotNull(),
-                F.map_concat(base, F.create_map(F.lit(k), merged_nested)),
+                merge_maps(base, F.create_map(F.lit(k), merged_nested)),
             ).otherwise(tgt)
             out = {self.root: merged}
         else:
@@ -239,7 +251,7 @@ class Field:
         tgt = self._base(cols, self.root)
         base = F.coalesce(tgt, _empty_map())
         if len(self.keys) == 1:
-            new = F.map_concat(base, F.create_map(F.lit(self.keys[0]), v))
+            new = merge_maps(base, F.create_map(F.lit(self.keys[0]), v))
             return {self.root: F.when(v.isNotNull(), new).otherwise(tgt)}
         # deeper: maintain the JSON-encoded nested object at keys[0]
         k = self.keys[0]
@@ -247,8 +259,8 @@ class Field:
             F.from_json(F.try_element_at(base, F.lit(k)), MAP_SS), _empty_map()
         )
         if len(self.keys) == 2:
-            nested2 = F.map_concat(nested, F.create_map(F.lit(self.keys[1]), v))
-            new = F.map_concat(base, F.create_map(F.lit(k), F.to_json(nested2)))
+            nested2 = merge_maps(nested, F.create_map(F.lit(self.keys[1]), v))
+            new = merge_maps(base, F.create_map(F.lit(k), F.to_json(nested2)))
             return {self.root: F.when(v.isNotNull(), new).otherwise(tgt)}
         raise FieldParseError(f"set deeper than two levels not supported: {self}")
 

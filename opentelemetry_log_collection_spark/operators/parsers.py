@@ -87,15 +87,22 @@ class ParserStage(ColumnStage):
     def transform(self, df: DataFrame, cond: Column):
         src = self.parse_from.get().cast(T.StringType())
         parsed = self.parse(src)
-        # null parse value => merge no-op => row forwarded unchanged
-        guarded = F.when(cond & src.isNotNull(), parsed)
-        err = src.isNull() | parsed.isNull()
-        df = apply_updates(df, self.parse_to.set_map(guarded))
+        # materialize the parse result in its own projection first:
+        # pandas-UDF-backed parsers cannot be referenced inside the
+        # higher-order-function lambdas the merge uses
+        # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF)
+        df = df.withColumn("_parsed", F.when(cond & src.isNotNull(), parsed))
+        err = src.isNull() | F.col("_parsed").isNull()
+        df = apply_updates(df, self.parse_to.set_map(F.col("_parsed")))
         for sub in self.subparsers:
             df, sub_err = sub.embed_apply(df, cond)
             if sub_err is not None:
                 err = err | F.coalesce(sub_err, F.lit(False))
-        return df, err
+        # errors checked only after all sub-parsers ran (parser.go:171-184);
+        # the drop filter runs here while _parsed is still in scope
+        if self.on_error == "drop":
+            df = df.filter(~(cond & F.coalesce(err, F.lit(False))))
+        return df.drop("_parsed"), None
 
 
 # --------------------------------------------------------------------

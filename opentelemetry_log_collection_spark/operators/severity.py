@@ -1,12 +1,13 @@
 """severity_parser — the 25-level enum mapping.
 
-Rebuilds operator/helper/severity_builder.go:28-261 exactly: the
-``aliases``/``otel``/default presets, user mappings with list values,
-``{min,max}`` ranges and the ``2xx/3xx/4xx/5xx`` HTTP expansions — all
-expanded to a flat string->int dict at PLAN time (the reference does
-the same expansion at build time, expandRange severity_builder.go:
-223-233), then evaluated as a single literal ``create_map`` lookup:
-one hash probe per row inside whole-stage codegen, zero Python.
+Rebuilds operator/helper/severity_builder.go:28-261: the
+``aliases``/``otel``/default presets and user mappings with list
+values compile at PLAN time into one literal ``create_map`` probe;
+``{min,max}`` ranges and the ``2xx/3xx/4xx/5xx`` HTTP expansions stay
+*numeric between-predicates* instead of the reference's
+expand-to-100-literal-keys move (severity_builder.go:223-233) — same
+semantics, but the expression fits Janino's codegen method limit so
+the stage stays inside whole-stage codegen, zero Python per row.
 
 Lookup semantics (operator/helper/severity.go:59-89): input lowercased
 for the probe; unmapped values -> Default(0); the original text is
@@ -64,9 +65,17 @@ def _builtin_mapping(preset: str | None) -> dict[str, int]:
 _HTTP_RANGES = {"2xx": (200, 299), "3xx": (300, 399), "4xx": (400, 499), "5xx": (500, 599)}
 
 
-def _parseable_values(value) -> list[str]:
+def _parseable_values(value):
     """parseableValues (severity_builder.go:235-260): int, string
-    (with HTTP-range expansion), or {min,max} range."""
+    (with HTTP-range expansion), or {min,max} range.
+
+    The reference expands every range to literal string keys
+    (expandRange severity_builder.go:223-233). We keep ranges AS
+    RANGES: a 100-key literal create_map per range breaks Janino's
+    64KB codegen method limit and forces interpreted execution —
+    a numeric `between` predicate keeps the stage inside
+    whole-stage codegen with identical semantics.
+    Returns a list of str keys and/or ('range', lo, hi) tuples."""
     if isinstance(value, bool):
         raise ValueError("bool cannot be parsed as a severity value")
     if isinstance(value, int):
@@ -74,18 +83,22 @@ def _parseable_values(value) -> list[str]:
     if isinstance(value, str):
         if value in _HTTP_RANGES:
             lo, hi = _HTTP_RANGES[value]
-            return [str(i) for i in range(lo, hi + 1)]
+            return [("range", lo, hi)]
         return [value.lower()]
     if isinstance(value, dict) and "min" in value and "max" in value:
         lo, hi = int(value["min"]), int(value["max"])
         if lo > hi:
             lo, hi = hi, lo
-        return [str(i) for i in range(lo, hi + 1)]
+        return [("range", lo, hi)]
     raise ValueError(f"type {type(value).__name__} cannot be parsed as a severity")
 
 
-def build_mapping(preset: str | None = None, mapping: dict | None = None) -> dict[str, int]:
+def build_mapping(
+    preset: str | None = None, mapping: dict | None = None
+) -> tuple[dict[str, int], list[tuple[int, int, int]]]:
+    """-> (literal key map, [(lo, hi, sev)] ranges, later entries win)."""
     out = _builtin_mapping(preset)
+    ranges: list[tuple[int, int, int]] = []
     for sev_name, values in (mapping or {}).items():
         key = str(sev_name).lower()
         if key not in SEVERITY_VALUES:
@@ -94,8 +107,11 @@ def build_mapping(preset: str | None = None, mapping: dict | None = None) -> dic
         items = values if isinstance(values, list) else [values]
         for v in items:
             for parseable in _parseable_values(v):
-                out[parseable] = sev
-    return out
+                if isinstance(parseable, tuple):
+                    ranges.append((parseable[1], parseable[2], sev))
+                else:
+                    out[parseable] = sev
+    return out, ranges
 
 
 class SeverityParser:
@@ -103,23 +119,33 @@ class SeverityParser:
 
     def __init__(self, parse_from: str, preset: str | None = None, mapping: dict | None = None):
         self.parse_from = Field.parse(parse_from)
-        self.mapping = build_mapping(preset, mapping)
+        self.mapping, self.ranges = build_mapping(preset, mapping)
 
     def _lookup(self, src: Column) -> Column:
-        if not self.mapping:
+        if not self.mapping and not self.ranges:
             return F.lit(None).cast(T.IntegerType())
-        entries: list[Column] = []
-        for k, v in self.mapping.items():
-            entries.append(F.lit(k))
-            entries.append(F.lit(v))
-        litmap = F.create_map(*entries)
         # float inputs like 404.0 must probe as "404" (severity.go:66-75)
-        as_int = src.try_cast(T.DoubleType())
-        probe = F.when(
-            as_int.isNotNull() & (as_int == F.floor(as_int)),
-            F.floor(as_int).cast(T.LongType()).cast(T.StringType()),
-        ).otherwise(F.lower(src))
-        return F.try_element_at(litmap, probe)
+        as_num = src.try_cast(T.DoubleType())
+        is_whole = as_num.isNotNull() & (as_num == F.floor(as_num))
+        as_int = F.floor(as_num).cast(T.LongType())
+        probe = F.when(is_whole, as_int.cast(T.StringType())).otherwise(F.lower(src))
+        hit = F.lit(None).cast(T.IntegerType())
+        if self.mapping:
+            entries: list[Column] = []
+            for k, v in self.mapping.items():
+                entries.append(F.lit(k))
+                entries.append(F.lit(v))
+            hit = F.try_element_at(F.create_map(*entries), probe)
+        # later-configured ranges win over earlier ones; explicit keys
+        # win over ranges (the reference's dict overwrite order makes
+        # key/range precedence insertion-ordered — ties are unusual)
+        range_hit = F.lit(None).cast(T.IntegerType())
+        for lo, hi, sev in reversed(self.ranges):
+            range_hit = F.coalesce(
+                range_hit,
+                F.when(is_whole & as_int.between(lo, hi), F.lit(sev)),
+            )
+        return F.coalesce(hit, range_hit)
 
     def embed_apply(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
         src = self.parse_from.get().cast(T.StringType())

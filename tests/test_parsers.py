@@ -1,0 +1,188 @@
+"""Parser behavior tests mirroring the reference's Go test tables
+(FIXTURES.md F1-F3; regex_test.go:84-164, json/csv/keyvalue/uri tests)."""
+
+import pytest
+
+from opentelemetry_log_collection_spark.pipeline import Pipeline
+from conftest import make_entries, collected
+
+K8S_REGEX = (
+    r"^(?P<pod_name>[a-z0-9]([-a-z0-9]*[a-z0-9])?(\.[a-z0-9]([-a-z0-9]*[a-z0-9])?)*)_"
+    r"(?P<namespace>[^_]+)_(?P<container_name>.+)-"
+    r"(?P<container_id>[a-z0-9]{64})\.log$"
+)
+K8S_FILE = (
+    "coredns-5644d7b6d9-mzngq_kube-system_coredns-"
+    "901f7510281180a402936c92f5bc0f3557f5a21ccb5a4591c5bf98f3ddbffdd6.log"
+)
+
+
+def run1(df, *configs):
+    return list(Pipeline.from_configs(list(configs)).run(df).values())[0]
+
+
+@pytest.mark.parametrize("impl", ["builtin", "pandas"])
+def test_regex_root_string(spark, impl):
+    df = make_entries(spark, ["a=b"])
+    out = run1(df, {"type": "regex_parser", "regex": "a=(?P<a>.*)", "impl": impl})
+    [row] = collected(out, "attributes")
+    assert row["attributes"]["a"] == "b"
+
+
+@pytest.mark.parametrize("impl", ["builtin", "pandas"])
+def test_regex_k8s_filename(spark, impl):
+    """regex_test.go:122-140 — the k8s container-log filename case."""
+    df = make_entries(spark, [K8S_FILE])
+    out = run1(df, {"type": "regex_parser", "regex": K8S_REGEX, "impl": impl})
+    [row] = collected(out, "attributes")
+    a = row["attributes"]
+    assert a["pod_name"] == "coredns-5644d7b6d9-mzngq"
+    assert a["namespace"] == "kube-system"
+    assert a["container_name"] == "coredns"
+    assert a["container_id"].startswith("901f7510")
+
+
+def test_regex_nomatch_send_vs_drop(spark):
+    """regex_test.go:60-65 — non-match error through on_error."""
+    df = make_entries(spark, ["invalid", "test rest"])
+    sent = run1(df, {"type": "regex_parser", "regex": "^(?P<key>test)", "on_error": "send"})
+    rows = collected(sent, "text", "attributes")
+    assert len(rows) == 2
+    # failed row forwarded unmodified
+    bad = [r for r in rows if r["text"] == "invalid"][0]
+    assert "key" not in bad["attributes"]
+    dropped = run1(df, {"type": "regex_parser", "regex": "^(?P<key>test)", "on_error": "drop"})
+    rows = collected(dropped, "text")
+    assert [r["text"] for r in rows] == ["test rest"]
+
+
+def test_json_parser_flat_nested_and_errors(spark):
+    df = make_entries(
+        spark,
+        ['{"key":"val","int":1,"bool":true}', '{"a":{"b":"c"}}', "[1,2]", "notjson"],
+    )
+    out = run1(df, {"type": "json_parser", "on_error": "send"})
+    rows = collected(out, "text", "attributes")
+    flat = rows[0]["attributes"]
+    assert flat["key"] == "val" and flat["int"] == "1" and flat["bool"] == "true"
+    assert rows[1]["attributes"]["a"] == '{"b":"c"}'  # nested JSON-encoded
+    for bad in rows[2:]:
+        assert "a" not in bad["attributes"] and "key" not in bad["attributes"]
+    dropped = run1(df, {"type": "json_parser", "on_error": "drop"})
+    assert dropped.count() == 2
+
+
+def test_json_embedded_subparsers(spark):
+    df = make_entries(spark, ['{"timestamp":"2020-01-01T00:00:00Z","sev":"error","msg":"x"}'])
+    out = run1(
+        df,
+        {
+            "type": "json_parser",
+            "timestamp": {"parse_from": "attributes.timestamp", "layout": "%Y-%m-%dT%H:%M:%SZ"},
+            "severity": {"parse_from": "attributes.sev"},
+        },
+    )
+    [row] = collected(out, "ts", "severity", "severity_text")
+    assert row["severity"] == 17 and row["severity_text"] == "error"
+    assert row["ts"].year == 2020 and row["ts"].month == 1
+
+
+def test_keyvalue_quote_aware_default(spark):
+    """keyvalue.go:104-139 — whitespace pairs, quote-aware."""
+    df = make_entries(spark, ['name="phil" age=22'])
+    out = run1(df, {"type": "key_value_parser"})
+    [row] = collected(out, "attributes")
+    assert row["attributes"]["name"] == "phil"
+    assert row["attributes"]["age"] == "22"
+
+
+def test_keyvalue_custom_pair_delimiter(spark):
+    df = make_entries(spark, ["a=1;b=2"])
+    out = run1(df, {"type": "key_value_parser", "pair_delimiter": ";"})
+    [row] = collected(out, "attributes")
+    assert row["attributes"]["a"] == "1" and row["attributes"]["b"] == "2"
+
+
+def test_keyvalue_malformed_pair_errors(spark):
+    df = make_entries(spark, ["good=1 bad"])
+    out = run1(df, {"type": "key_value_parser", "on_error": "drop"})
+    assert out.count() == 0
+
+
+def test_csv_static_header_quotes_and_count(spark):
+    """csv.go:132-199 — quoted field, wrong count is an error."""
+    df = make_entries(spark, ['val1,val2,"quoted,val3"', "only,two"])
+    out = run1(df, {"type": "csv_parser", "header": "h1,h2,h3", "on_error": "drop"})
+    rows = collected(out, "attributes")
+    assert len(rows) == 1
+    a = rows[0]["attributes"]
+    assert a["h1"] == "val1" and a["h3"] == "quoted,val3"
+
+
+def test_csv_dynamic_header_attribute(spark):
+    """csv.go:106-121 — header from an attribute per entry."""
+    df = make_entries(spark, ["1,2"])
+    out = run1(
+        df,
+        {"type": "add", "field": "attributes.hdr", "value": "a,b"},
+        {"type": "csv_parser", "header_attribute": "hdr"},
+    )
+    [row] = collected(out, "attributes")
+    assert row["attributes"]["a"] == "1" and row["attributes"]["b"] == "2"
+
+
+def test_uri_parser_absolute_and_bare_query(spark):
+    """uri.go:79-163."""
+    df = make_entries(spark, ["https://user@host:443/path?q=a&q=b", "?x=1"])
+    out = run1(df, {"type": "uri_parser"})
+    rows = collected(out, "attributes")
+    a = rows[0]["attributes"]
+    assert a["scheme"] == "https" and a["user"] == "user"
+    assert a["host"] == "host" and a["port"] == "443" and a["path"] == "/path"
+    assert a["query"] == '{"q":["a","b"]}'
+    assert rows[1]["attributes"]["query"] == '{"x":["1"]}'
+
+
+def test_syslog_rfc3164_and_severity_table(spark):
+    """syslog.go:144-157 + the fixed 0-7 severity table (:225-250)."""
+    df = make_entries(spark, ["<34>Jan 12 06:30:00 1.2.3.4 apache_server: test message"])
+    out = run1(df, {"type": "syslog_parser", "protocol": "rfc3164"})
+    [row] = collected(out, "attributes", "severity", "severity_text")
+    a = row["attributes"]
+    assert a["priority"] == "34" and a["facility"] == "4"
+    assert a["hostname"] == "1.2.3.4" and a["appname"] == "apache_server"
+    assert a["message"] == "test message"
+    assert "severity" not in a  # postprocess removed it
+    assert row["severity"] == 18 and row["severity_text"] == "crit"  # pri%8==2
+
+
+def test_syslog_rfc5424(spark):
+    df = make_entries(
+        spark,
+        ['<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 111 ID47 - An application event'],
+    )
+    out = run1(df, {"type": "syslog_parser", "protocol": "rfc5424"})
+    [row] = collected(out, "attributes", "severity_text")
+    a = row["attributes"]
+    assert a["appname"] == "evntslog" and a["proc_id"] == "111"
+    assert a["msg_id"] == "ID47" and a["version"] == "1"
+    assert row["severity_text"] == "notice"  # 165 % 8 == 5
+
+
+def test_trace_parser(spark):
+    df = make_entries(spark, ['{"trace_id":"480140f3d770a5ae32f0a22b6a812cff","span_id":"92c3e67d"}'])
+    out = run1(
+        df,
+        {"type": "json_parser", "parse_to": "body"},
+        {"type": "trace_parser"},
+    )
+    [row] = collected(out, "trace_id", "span_id")
+    assert row["trace_id"].hex() == "480140f3d770a5ae32f0a22b6a812cff"
+    assert row["span_id"].hex() == "92c3e67d"
+
+
+def test_scope_name_parser(spark):
+    df = make_entries(spark, ["my.logger"])
+    out = run1(df, {"type": "scope_name_parser", "parse_from": "body"})
+    [row] = collected(out, "scope_name")
+    assert row["scope_name"] == "my.logger"
