@@ -1,10 +1,19 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator (SURVEY.md section 2)
+or one training-data op through the engine's real code path; the
+matching ``oracle_sql()`` entry reproduces the semantics in DuckDB SQL
+over the same parquet views. The transcript input table (BASELINE.json
+input_hint) is synthesized deterministically from `events` by a CTE
+that is valid in BOTH dialects (transcripts.ORACLE_CTE), so per-turn
+text equality is checked end-to-end.
+
+Conventions keeping the value-hash comparison airtight:
+  - every computed column aliased identically on both sides
+  - counts/sizes cast to BIGINT on both sides
+  - timestamps compared as epoch microseconds (BIGINT)
+  - float similarity scores are never output — only integer ranks and
+    exact integer counts
 """
 
 from __future__ import annotations
@@ -12,27 +21,773 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+import opentelemetry_log_collection_spark.operators  # noqa: F401 (register)
+from opentelemetry_log_collection_spark import dedup, similarity, textops
+from opentelemetry_log_collection_spark.entry import to_entries
+from opentelemetry_log_collection_spark.flagship import (
+    ROLE_DIM,
+    TOMCAT_REGEX,
+    apply_enrich,
+    apply_parsers,
+    route_name_col,
+    run_flagship,
+    sink_counts,
+    tagged_frame,
+)
+from opentelemetry_log_collection_spark.operators.recombine import RecombineStage
+from opentelemetry_log_collection_spark.pipeline import build_stage
+from opentelemetry_log_collection_spark.transcripts import (
+    ORACLE_CTE,
+    load_transcripts,
+)
+
+# --------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------
+
+
+def _attr(name: str):
+    return F.try_element_at(F.col("attributes"), F.lit(name))
+
+
+def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return to_entries(load_transcripts(spark, sf_dir))
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+#: CASE chain reproducing the router's first-match-wins semantics in
+#: ANSI SQL over the raw transcript text (used by several oracles)
+_SINK_CASE = """
+  CASE
+    WHEN text LIKE '10.%' AND CAST(regexp_extract(text,
+         '" ([0-9]+) [0-9-]+$', 1) AS INTEGER) BETWEEN 500 AND 599
+      THEN 'sink_errors'
+    WHEN text LIKE 'user=%' THEN 'sink_ui'
+    WHEN text LIKE '{%' THEN 'sink_growth'
+    WHEN regexp_matches(text, '^[0-9]+,') THEN 'sink_billing'
+    ELSE 'sink_rest'
+  END
+"""
+
+# dual-dialect syslog-line CTE over events (exercises syslog_parser)
+_MONTH = (
+    "case month(ts) when 1 then 'Jan' when 2 then 'Feb' when 3 then 'Mar' "
+    "when 4 then 'Apr' when 5 then 'May' when 6 then 'Jun' when 7 then 'Jul' "
+    "when 8 then 'Aug' when 9 then 'Sep' when 10 then 'Oct' "
+    "when 11 then 'Nov' else 'Dec' end"
+)
+_V = "varchar(30)"
+SYSLOG_SQL = f"""
+SELECT
+  event_id,
+  '<' || cast(event_id % 192 as {_V}) || '>'
+  || {_MONTH} || ' ' || lpad(cast(day(ts) as {_V}), 2, ' ') || ' '
+  || lpad(cast(hour(ts) as {_V}), 2, '0') || ':'
+  || lpad(cast(minute(ts) as {_V}), 2, '0') || ':'
+  || lpad(cast(second(ts) as {_V}), 2, '0')
+  || ' host-' || cast(user_id % 20 as {_V})
+  || ' svc' || cast(event_id % 5 as {_V})
+  || '[' || cast(event_id % 1000 as {_V}) || ']: '
+  || 'job ' || cast(event_id as {_V}) || ' done'                 AS line
+FROM events
+"""
+
+_SYSLOG_SEV = "CASE (event_id % 192) % 8 WHEN 0 THEN 21 WHEN 1 THEN 19 WHEN 2 THEN 18 WHEN 3 THEN 17 WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 ELSE 5 END"
+_SYSLOG_SEV_TXT = "CASE (event_id % 192) % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END"
+
+
+# --------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------
+
+
+def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The synthesized input table itself — per-turn text equality
+    under stable (conv_id, turn_idx) ordering, the north rule's
+    per-row invariant."""
+    t = load_transcripts(spark, sf_dir)
+    # parquet stores ts as TIMESTAMP_NTZ; session tz is UTC so the
+    # ltz cast is instant-preserving and matches DuckDB's epoch_us
+    return t.select(
+        "conv_id", "turn_idx", "role", "text", "tool",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
+def q_regex_tomcat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """regex_parser (named groups) on the Tomcat access lines
+    (operator/parser/regex/regex.go:43-146)."""
+    df = _entries(spark, sf_dir)
+    stage = build_stage(
+        {
+            "type": "regex_parser",
+            "regex": TOMCAT_REGEX,
+            "if_expr": 'body matches "^10\\\\."',
+        }
+    )
+    out = stage.apply(df).filter(_attr("http_status").isNotNull())
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _attr("remote_host").alias("remote_host"),
+        _attr("http_method").alias("http_method"),
+        _attr("url_path").alias("url_path"),
+        _attr("http_status").alias("http_status"),
+        _attr("bytes_sent").alias("bytes_sent"),
+    )
+
+
+def q_json_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_parser on the JSON turns (operator/parser/json/json.go)."""
+    df = _entries(spark, sf_dir)
+    stage = build_stage({"type": "json_parser", "if_expr": 'body startsWith "{"'})
+    out = stage.apply(df).filter(_attr("event").isNotNull())
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _attr("event").alias("event"),
+        _attr("user").alias("user_name"),
+        _attr("plan").alias("plan"),
+        _attr("ok").alias("ok"),
+    )
+
+
+def q_kv_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """key_value_parser, quote-aware whitespace pairs
+    (operator/parser/keyvalue/keyvalue.go:104-139)."""
+    df = _entries(spark, sf_dir)
+    stage = build_stage(
+        {"type": "key_value_parser", "if_expr": 'body startsWith "user="'}
+    )
+    out = stage.apply(df).filter(_attr("action").isNotNull())
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _attr("user").alias("user_name"),
+        _attr("action").alias("action"),
+        _attr("target").alias("target"),
+        _attr("dur_ms").alias("dur_ms"),
+    )
+
+
+def q_csv_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv_parser with static header + quoted field
+    (operator/parser/csv/csv.go:132-199)."""
+    df = _entries(spark, sf_dir)
+    stage = build_stage(
+        {
+            "type": "csv_parser",
+            "header": "txn_id,buyer,item,amount_cents",
+            "if_expr": 'body matches "^[0-9]+,"',
+        }
+    )
+    out = stage.apply(df).filter(_attr("txn_id").isNotNull())
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _attr("txn_id").alias("txn_id"),
+        _attr("buyer").alias("buyer"),
+        _attr("item").alias("item"),
+        _attr("amount_cents").alias("amount_cents"),
+    )
+
+
+def q_severity_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """severity_parser with HTTP 2xx/4xx/5xx expansions + {min,max}
+    range (operator/helper/severity_builder.go:223-260)."""
+    df = _entries(spark, sf_dir)
+    df = apply_parsers(df).filter(_attr("http_status").isNotNull())
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.col("severity").cast("int").alias("severity"),
+        F.col("severity_text"),
+    )
+
+
+def q_time_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_parser strptime layout %d/%b/%Y:%H:%M:%S %z
+    (operator/helper/time.go:42-296); round-trips the access-log
+    timestamp back to the original event time (seconds precision)."""
+    df = _entries(spark, sf_dir)
+    df = apply_parsers(df).filter(_attr("http_status").isNotNull())
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("parsed_ts_us"),
+    )
+
+
+def q_uri_request(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """uri_parser with multi-valued query params JSON-encoded
+    (operator/parser/uri/uri.go:99-163)."""
+    df = _entries(spark, sf_dir)
+    df = apply_parsers(df).filter(_attr("url_path").isNotNull())
+    stage = build_stage({"type": "uri_parser", "parse_from": "attributes.url_path"})
+    out = stage.apply(df)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        _attr("path").alias("path"),
+        _attr("query").alias("query"),
+    )
+
+
+def q_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog_parser RFC3164 + fixed priority->severity table
+    (operator/parser/syslog/syslog.go:144-272)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    lines = spark.sql(SYSLOG_SQL)
+    df = to_entries(
+        lines.select(
+            F.lit("syslog").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    stage = build_stage({"type": "syslog_parser", "protocol": "rfc3164"})
+    out = stage.apply(df)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        _attr("priority").alias("priority"),
+        _attr("facility").alias("facility"),
+        _attr("hostname").alias("hostname"),
+        _attr("appname").alias("appname"),
+        _attr("proc_id").alias("proc_id"),
+        _attr("message").alias("message"),
+        F.col("severity").cast("int").alias("severity"),
+        F.col("severity_text"),
+    )
+
+
+def q_trace_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trace_parser hex-decode (operator/parser/trace/trace.go:30-71);
+    round-trips synthetic hex ids through BinaryType columns."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        "SELECT event_id, "
+        "substr(md5(cast(event_id as varchar(30))), 1, 32) AS tid, "
+        "substr(md5(cast(event_id as varchar(30))), 1, 16) AS sid "
+        "FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("t").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.to_json(F.struct(F.col("tid").alias("trace_id"),
+                               F.col("sid").alias("span_id"))).alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage({"type": "json_parser", "parse_to": "body"}).apply(df)
+    df = build_stage(
+        {
+            "type": "trace_parser",
+            "trace_id": {"parse_from": "body.trace_id"},
+            "span_id": {"parse_from": "body.span_id"},
+        }
+    ).apply(df)
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.lower(F.hex(F.col("trace_id"))).alias("trace_hex"),
+        F.lower(F.hex(F.col("span_id"))).alias("span_hex"),
+    )
+
+
+def q_transform_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add/copy/move/remove/retain chain (SURVEY.md section 2.5)."""
+    df = _entries(spark, sf_dir)
+    for cfg in [
+        {"type": "add", "field": "attributes.env", "value": "prod"},
+        {
+            "type": "add",
+            "field": "attributes.sev_tag",
+            "value": 'EXPR(attributes.role + "-" + attributes.tool)',
+        },
+        {"type": "copy", "from": "resource.conv_id", "to": "attributes.conv_copy"},
+        {"type": "move", "from": "attributes.env", "to": "attributes.environment"},
+        {"type": "remove", "field": "attributes.tool"},
+        {
+            "type": "retain",
+            "fields": [
+                "attributes.environment",
+                "attributes.sev_tag",
+                "attributes.role",
+                "attributes.conv_copy",
+            ],
+        },
+    ]:
+        df = build_stage(cfg).apply(df)
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        _attr("environment").alias("environment"),
+        _attr("sev_tag").alias("sev_tag"),
+        _attr("role").alias("role_attr"),
+        _attr("conv_copy").alias("conv_copy"),
+        F.size(F.col("attributes")).cast("long").alias("n_attr_keys"),
+    )
+
+
+def q_filter_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """filter operator: drop entries matching expr
+    (operator/transformer/filter/filter.go:39-117)."""
+    df = _entries(spark, sf_dir)
+    df = build_stage({"type": "filter", "expr": 'attributes.role == "system"'}).apply(df)
+    return df.groupBy("role").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def q_enrich_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lookup_enrich: broadcast hash-join enrichment (north rule)."""
+    df = apply_enrich(spark, _entries(spark, sf_dir))
+    return df.select(
+        "conv_id",
+        "turn_idx",
+        _attr("role").alias("role"),
+        _attr("persona").alias("persona"),
+        _attr("origin").alias("origin"),
+    )
+
+
+def q_router_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship headline: parse -> enrich -> route -> per-sink counts."""
+    return run_flagship(spark, sf_dir)
+
+
+def q_routed_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Routed-row equality: every turn's sink assignment."""
+    tagged = tagged_frame(spark, sf_dir)
+    return tagged.select("conv_id", "turn_idx", route_name_col().alias("sink"))
+
+
+def q_recombine_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recombine: window-based multiline stitching, is_first_entry
+    boundary, oldest base (operator/transformer/recombine/
+    recombine.go:37-335)."""
+    df = _entries(spark, sf_dir)
+    stage = RecombineStage(
+        combine_field="body",
+        is_first_entry='attributes.role == "user"',
+        source_identifier="resource.conv_id",
+        combine_with="\n",
+        overwrite_with="oldest",
+        order_by=["turn_idx"],
+    )
+    out = stage.apply(df)
+    return out.select("conv_id", "turn_idx", "text")
+
+
+# ---- training-data ops ----------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a deterministically duplicated corpus."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    return dedup.exact_dedup(docs.unionByName(dups))
+
+
+def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with exact n-gram Jaccard
+    verification (shingle->minhash->band->bucket-join)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = dedup.minhash_near_dups(docs)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_cnt").cast("long").alias("inter_cnt"),
+        F.col("union_cnt").cast("long").alias("union_cnt"),
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash signatures as 16-hex-char strings."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return dedup.simhash64(docs)
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + stopword stats over documents."""
+    docs = _documents(spark, sf_dir)
+    out = textops.token_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("tok_cnt").cast("long").alias("tok_cnt"),
+        F.col("char_cnt").cast("long").alias("char_cnt"),
+        F.col("stop_cnt").cast("long").alias("stop_cnt"),
+        F.col("uniq_tok_cnt").cast("long").alias("uniq_tok_cnt"),
+    )
+
+
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring signals (exact integer counts)."""
+    docs = _documents(spark, sf_dir)
+    out = textops.quality_stats(docs)
+    return out.select(
+        "doc_id",
+        F.col("char_cnt").cast("long").alias("char_cnt"),
+        F.col("tok_cnt").cast("long").alias("tok_cnt"),
+        F.col("punct_cnt").cast("long").alias("punct_cnt"),
+        F.col("digit_cnt").cast("long").alias("digit_cnt"),
+        F.col("space_cnt").cast("long").alias("space_cnt"),
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix fingerprint — document analogue of file_input's
+    first-N-bytes fingerprint (operator/input/file/fingerprint.go)."""
+    return textops.fingerprint(_documents(spark, sf_dir))
+
+
+def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 (ranks only; exact baseline)."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.brute_force_topk(queries, emb, k=5)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID via char-trigram profiles (vectorized pandas UDF) —
+    heuristic, no SQL oracle; driver records rows-only check."""
+    return textops.language_id(_documents(spark, sf_dir))
+
+
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (approximate; recall-dependent) —
+    rows-only check."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.lsh_topk(queries, emb, k=5, dim=64)
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+# --------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return run_flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "transcripts": q_transcripts,
+        "regex_tomcat": q_regex_tomcat,
+        "json_signup": q_json_signup,
+        "kv_click": q_kv_click,
+        "csv_purchase": q_csv_purchase,
+        "severity_http": q_severity_http,
+        "time_access": q_time_access,
+        "uri_request": q_uri_request,
+        "syslog_rfc3164": q_syslog_rfc3164,
+        "trace_ids": q_trace_ids,
+        "transform_restructure": q_transform_restructure,
+        "filter_drop": q_filter_drop,
+        "enrich_roles": q_enrich_roles,
+        "router_counts": q_router_counts,
+        "routed_rows": q_routed_rows,
+        "recombine_conv": q_recombine_conv,
+        "dedup_exact": q_dedup_exact,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash": q_simhash,
+        "token_stats": q_token_stats,
+        "quality_stats": q_quality_stats,
+        "fingerprint": q_fingerprint,
+        "embed_topk": q_embed_topk,
+        "lang_id": q_lang_id,
+        "ann_lsh": q_ann_lsh,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    group = {
+        "remote_host": 1,
+        "http_method": 4,
+        "url_path": 5,
+        "http_status": 6,
+        "bytes_sent": 7,
+    }
+    rx = TOMCAT_REGEX.replace("'", "''")
+    tomcat_cols = ", ".join(
+        f"regexp_extract(text, '{rx}', {i}) AS {name}" for name, i in group.items()
+    )
+    sqls: dict[str, str] = {}
+
+    sqls["transcripts"] = (
+        f"{ORACLE_CTE} SELECT conv_id, turn_idx, role, text, tool, "
+        "epoch_us(ts) AS ts_us FROM transcripts"
+    )
+
+    sqls["regex_tomcat"] = (
+        f"{ORACLE_CTE} SELECT conv_id, turn_idx, {tomcat_cols} "
+        "FROM transcripts WHERE regexp_matches(text, '^10\\.')"
+    )
+
+    sqls["json_signup"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       json_extract_string(text, '$.event') AS event,
+       json_extract_string(text, '$.user')  AS user_name,
+       json_extract_string(text, '$.plan')  AS plan,
+       json_extract_string(text, '$.ok')    AS ok
+FROM transcripts WHERE text LIKE '{{%'"""
+
+    sqls["kv_click"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       regexp_extract(text, 'user="([^"]*)"', 1)     AS user_name,
+       regexp_extract(text, 'action=([^ ]+)', 1)      AS action,
+       regexp_extract(text, 'target=([^ ]+)', 1)      AS target,
+       regexp_extract(text, 'dur_ms=([0-9]+)', 1)     AS dur_ms
+FROM transcripts WHERE text LIKE 'user=%'"""
+
+    sqls["csv_purchase"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       regexp_extract(text, '^([0-9]+),([^,]*),"([^"]*)",([0-9]+)$', 1) AS txn_id,
+       regexp_extract(text, '^([0-9]+),([^,]*),"([^"]*)",([0-9]+)$', 2) AS buyer,
+       regexp_extract(text, '^([0-9]+),([^,]*),"([^"]*)",([0-9]+)$', 3) AS item,
+       regexp_extract(text, '^([0-9]+),([^,]*),"([^"]*)",([0-9]+)$', 4) AS amount_cents
+FROM transcripts WHERE regexp_matches(text, '^[0-9]+,')"""
+
+    sqls["severity_http"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       CAST(CASE
+         WHEN status BETWEEN 500 AND 599 THEN 17
+         WHEN status BETWEEN 400 AND 499 THEN 13
+         WHEN status BETWEEN 300 AND 399 THEN 10
+         WHEN status BETWEEN 200 AND 299 THEN 9
+         ELSE 0 END AS INTEGER) AS severity,
+       CAST(status AS VARCHAR) AS severity_text
+FROM (
+  SELECT conv_id, turn_idx,
+         CAST(regexp_extract(text, '" ([0-9]+) [0-9-]+$', 1) AS INTEGER) AS status
+  FROM transcripts WHERE regexp_matches(text, '^10\\.')
+)"""
+
+    sqls["time_access"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       epoch_us(strptime(regexp_extract(text, '\\[([^\\]]+)\\]', 1),
+                         '%d/%b/%Y:%H:%M:%S %z')) AS parsed_ts_us
+FROM transcripts WHERE regexp_matches(text, '^10\\.')"""
+
+    sqls["uri_request"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       string_split(url, '?')[1] AS path,
+       '{{"id":["' || regexp_extract(url, 'id=([0-9]+)&id=([0-9]+)', 1)
+       || '","' || regexp_extract(url, 'id=([0-9]+)&id=([0-9]+)', 2)
+       || '"]}}' AS query
+FROM (
+  SELECT conv_id, turn_idx, regexp_extract(text, '"[A-Z]+ ([^ ]+) ', 1) AS url
+  FROM transcripts WHERE regexp_matches(text, '^10\\.')
+)"""
+
+    sqls["syslog_rfc3164"] = f"""WITH lines AS ({SYSLOG_SQL})
+SELECT event_id,
+       CAST(event_id % 192 AS VARCHAR)            AS priority,
+       CAST((event_id % 192) // 8 AS VARCHAR)     AS facility,
+       'host-' || CAST(user_id % 20 AS VARCHAR)   AS hostname,
+       'svc' || CAST(event_id % 5 AS VARCHAR)     AS appname,
+       CAST(event_id % 1000 AS VARCHAR)           AS proc_id,
+       'job ' || CAST(event_id AS VARCHAR) || ' done' AS message,
+       CAST({_SYSLOG_SEV} AS INTEGER)             AS severity,
+       {_SYSLOG_SEV_TXT}                          AS severity_text
+FROM events"""
+
+    sqls["trace_ids"] = """
+SELECT event_id,
+       substr(md5(CAST(event_id AS VARCHAR)), 1, 32) AS trace_hex,
+       substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_hex
+FROM events"""
+
+    sqls["transform_restructure"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx,
+       'prod'                AS environment,
+       role || '-' || tool   AS sev_tag,
+       role                  AS role_attr,
+       conv_id               AS conv_copy,
+       CAST(4 AS BIGINT)     AS n_attr_keys
+FROM transcripts"""
+
+    sqls["filter_drop"] = (
+        f"{ORACLE_CTE} SELECT role, count(*) AS cnt FROM transcripts "
+        "WHERE role <> 'system' GROUP BY role"
+    )
+
+    role_case_p = " ".join(
+        f"WHEN '{r}' THEN '{p}'" for r, p, _ in ROLE_DIM
+    )
+    role_case_o = " ".join(
+        f"WHEN '{r}' THEN '{o}'" for r, _, o in ROLE_DIM
+    )
+    sqls["enrich_roles"] = f"""{ORACLE_CTE}
+SELECT conv_id, turn_idx, role,
+       CASE role {role_case_p} END AS persona,
+       CASE role {role_case_o} END AS origin
+FROM transcripts"""
+
+    sqls["router_counts"] = (
+        f"{ORACLE_CTE} SELECT {_SINK_CASE} AS sink, count(*) AS cnt "
+        "FROM transcripts GROUP BY 1"
+    )
+
+    sqls["routed_rows"] = (
+        f"{ORACLE_CTE} SELECT conv_id, turn_idx, {_SINK_CASE} AS sink "
+        "FROM transcripts"
+    )
+
+    sqls["recombine_conv"] = f"""{ORACLE_CTE}, marked AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN role = 'user' THEN 1 ELSE 0 END AS m
+  FROM transcripts
+), grouped AS (
+  SELECT *,
+         sum(m) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS grp,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn
+  FROM marked
+), subbed AS (
+  SELECT *, CASE WHEN grp = 0 THEN rn ELSE 0 END AS sub FROM grouped
+)
+SELECT conv_id, min(turn_idx) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM subbed GROUP BY conv_id, grp, sub"""
+
+    sqls["dedup_exact"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+)
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+       count(*) AS n_copies
+FROM corpus GROUP BY 1"""
+
+    sqls["minhash_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+), sig AS (
+  SELECT doc_id,
+         min(md5('0|' || shingle)) AS mh0, min(md5('1|' || shingle)) AS mh1,
+         min(md5('2|' || shingle)) AS mh2, min(md5('3|' || shingle)) AS mh3
+  FROM sh0 GROUP BY doc_id
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+   AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1) OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3))
+), shd AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+), inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS inter_cnt
+  FROM cand c
+  JOIN shd sa ON sa.doc_id = c.doc_a
+  JOIN shd sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       coalesce(i.inter_cnt, 0) AS inter_cnt,
+       na.n + nb.n - coalesce(i.inter_cnt, 0) AS union_cnt
+FROM cand c
+LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+JOIN sizes na ON na.doc_id = c.doc_a
+JOIN sizes nb ON nb.doc_id = c.doc_b"""
+
+    sqls["simhash"] = r"""
+WITH w AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+  FROM documents
+), h AS (
+  SELECT doc_id, md5(word) AS h FROM w
+), bits AS (
+  SELECT doc_id, h, i AS b FROM h, UNNEST(generate_series(0, 63)) AS t(i)
+), v AS (
+  SELECT doc_id, b,
+         sum(2 * ((strpos('0123456789abcdef', substr(h, b // 4 + 1, 1)) - 1)
+             // (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)
+             % 2) - 1) AS vote
+  FROM bits GROUP BY 1, 2
+), sb AS (
+  SELECT doc_id, b, CASE WHEN vote > 0 THEN 1 ELSE 0 END AS bit FROM v
+), nib AS (
+  SELECT doc_id, b // 4 AS nib,
+         sum(bit * (CASE b % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) AS nibval
+  FROM sb GROUP BY 1, 2
+)
+SELECT doc_id,
+       string_agg(substr('0123456789abcdef', CAST(nibval AS INT) + 1, 1),
+                  '' ORDER BY nib) AS simhash
+FROM nib GROUP BY doc_id"""
+
+    stop_list = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    sqls["token_stats"] = rf"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+         length(text) AS char_cnt
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS tok_cnt,
+       CAST(char_cnt AS BIGINT) AS char_cnt,
+       CAST(len(list_filter(toks, x -> list_contains([{stop_list}], lower(x)))) AS BIGINT) AS stop_cnt,
+       CAST(len(list_distinct(list_transform(toks, x -> lower(x)))) AS BIGINT) AS uniq_tok_cnt
+FROM t"""
+
+    sqls["quality_stats"] = r"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS char_cnt,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS tok_cnt,
+       CAST(length(text) - length(regexp_replace(text, '[^\w\s]', '', 'g')) AS BIGINT) AS punct_cnt,
+       CAST(length(text) - length(regexp_replace(text, '\d', '', 'g')) AS BIGINT) AS digit_cnt,
+       CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS space_cnt
+FROM documents"""
+
+    sqls["fingerprint"] = (
+        "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
+    )
+
+    sqls["embed_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM q, c WHERE neighbor_id <> query_id
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= 5"""
+
+    return sqls

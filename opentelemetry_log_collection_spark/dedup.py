@@ -1,0 +1,223 @@
+"""Deduplication operators for training-data pipelines: exact,
+MinHash+LSH, SimHash, and n-gram Jaccard verification.
+
+All stages are shuffle-budgeted for the 100 TB case:
+
+  - exact:    ONE hash aggregation on md5(text) (map-side partial
+              agg; the 16-byte digest shuffles, never the text).
+  - minhash:  shingle explode is pipeline-local (no shuffle); ONE
+              groupBy(doc_id) computes the whole signature as K
+              independent min() aggregates in a single pass; the LSH
+              band self-join shuffles only (doc_id, band_key) pairs —
+              the classic shingle->minhash->band->bucket-join plan.
+  - simhash:  explode (word x 64 bits) stays pipeline-local; two
+              small aggregations reassemble the 64-bit signature as a
+              16-hex-char string.
+  - jaccard:  exact |A∩B| / |A∪B| on CANDIDATE pairs only (the LSH
+              output), never all-pairs.
+
+Everything is Spark builtins — md5/substring/aggregate run inside
+whole-stage codegen; no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MINHASH_SEEDS = 4  # K signature components
+BAND_SIZE = 2      # rows per LSH band -> K/BAND_SIZE bands
+SHINGLE = 3        # words per shingle
+
+_HEX = "0123456789abcdef"
+
+
+def words_col(text: Column) -> Column:
+    return F.split(F.lower(F.trim(text)), r"\s+")
+
+
+def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE) -> DataFrame:
+    """(doc_id, shingle) — one row per overlapping n-word shingle."""
+    w = words_col(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+# --------------------------------------------------------------------
+# exact dedup
+# --------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical texts by md5 digest; survivor = min doc_id.
+    Returns (keep_id, n_copies, content_hash)."""
+    return (
+        df.select(F.col("doc_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------
+
+
+def minhash_signature(
+    df: DataFrame, text_col: str = "text", seeds: int = MINHASH_SEEDS
+) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): K min-hashes in ONE aggregation pass.
+    Each seed's hash is md5('<seed>|' + shingle) — deterministic,
+    identical across engines and runs."""
+    sh = shingles(df, text_col)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(seeds)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BAND_SIZE
+) -> DataFrame:
+    """Band the signature and self-join per band: docs agreeing on ALL
+    rows of any band become candidate pairs (doc_a < doc_b). The join
+    key is the concatenated band slice — only (doc_id, band, key)
+    tuples shuffle."""
+    n_bands = seeds // band_size
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            ",", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        )
+        bands.append(
+            sig.select(
+                F.col("doc_id"), F.lit(b).alias("band"), key.alias("band_key")
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_verify(
+    pairs: DataFrame, df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs. Counts are exact ints
+    (inter_cnt/union_cnt) so downstream thresholds are reproducible
+    bit-for-bit; similarity = inter/union when a ratio is wanted."""
+    sh = shingles(df, text_col).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |A ∩ B|: equi-join on BOTH (doc, shingle) so the shingle value is
+    # part of the hash-join key — never a per-pair cross product
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_cnt"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce(F.col("inter_cnt"), F.lit(0)).alias("inter_cnt"),
+            (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("inter_cnt"), F.lit(0))).alias(
+                "union_cnt"
+            ),
+        )
+    )
+    return out
+
+
+def minhash_near_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The full shingle->minhash->band->bucket-join->verify plan."""
+    sig = minhash_signature(df, text_col)
+    pairs = lsh_candidate_pairs(sig)
+    return jaccard_verify(pairs, df, text_col)
+
+
+# --------------------------------------------------------------------
+# SimHash (64-bit, word-feature, multiset-weighted)
+# --------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash) with simhash as a 16-hex-char string.
+
+    Per word w: h = md5(w); bit b of the 64-bit signature votes
+    +1/-1 by bit b of h's first 16 nibbles; sign of the vote sum sets
+    the bit. String output sidesteps 64-bit sign issues and is
+    engine-portable."""
+    w = words_col(F.col(text_col))
+    tokens = df.select("doc_id", F.explode(w).alias("word"))
+    tokens = tokens.withColumn("h", F.md5(F.col("word")))
+    bits = tokens.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    )
+    bit = F.expr(
+        f"cast((instr('{_HEX}', substr(h, cast(b / 4 as int) + 1, 1)) - 1) / "
+        "(case cast(b % 4 as int) when 0 then 8 when 1 then 4 when 2 then 2 else 1 end) "
+        "as int) % 2"
+    )
+    votes = bits.select(
+        "doc_id", "b", (bit * 2 - 1).alias("vote")
+    ).groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
+    sig_bits = votes.select(
+        "doc_id",
+        "b",
+        F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
+    )
+    nibs = (
+        sig_bits.withColumn("nib", F.floor(F.col("b") / 4))
+        .withColumn(
+            "weight",
+            F.expr("case cast(b % 4 as int) when 0 then 8 when 1 then 4 when 2 then 2 else 1 end"),
+        )
+        .groupBy("doc_id", "nib")
+        .agg(F.sum(F.col("bit") * F.col("weight")).alias("nibval"))
+        .withColumn("ch", F.expr(f"substr('{_HEX}', cast(nibval as int) + 1, 1)"))
+    )
+    return (
+        nibs.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("nib"), F.col("ch")))
+                    ),
+                    lambda s: s.getField("ch"),
+                ),
+                "",
+            ).alias("simhash")
+        )
+    )

@@ -131,9 +131,10 @@ class RetainStage(ColumnStage):
             whole_root = any(not f.keys for f in kept)
             if whole_root:
                 continue
-            filtered = F.map_filter(
-                m, lambda k, _v, keys=keys: k.isin(*keys)
-            )
+            # NB: the lambda must take exactly (k, v) — map_filter binds
+            # every declared parameter to a Column, so a keys= default
+            # would be clobbered; the closure is evaluated eagerly here
+            filtered = F.map_filter(m, lambda k, _v: k.isin(*list(keys)))
             new_col = F.when(cond, filtered).otherwise(m)
             out = out.withColumn(root, new_col)
             if root == "body":

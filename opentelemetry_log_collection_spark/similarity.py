@@ -1,0 +1,204 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two plans, per the standard ANN playbook:
+
+  - brute_force_topk: the exactness baseline. The (small) query set
+    broadcasts; scoring is a map-side nested loop with the cosine
+    computed by builtin higher-order functions (zip_with + aggregate,
+    left-fold => deterministic summation order), then ONE window
+    per-query top-k. Cost: |corpus| x |queries| partial products, no
+    corpus shuffle — right up to a few thousand queries.
+
+  - lsh_topk: the scale path. Random-hyperplane (sign) LSH buckets
+    both sides; candidates = bucket collisions (shuffle of (bucket,
+    id) pairs only); exact cosine re-rank within candidates. Recall
+    is tunable via n_planes/n_tables. Hyperplanes are derived
+    deterministically from a seed (md5 stream), never RNG state.
+
+All math is done in DOUBLE after an explicit cast from float32 —
+identical left-to-right IEEE ops in any engine, so oracle checks can
+reproduce scores bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+
+def _dvec(c: Column) -> Column:
+    return c.cast(T.ArrayType(T.DoubleType()))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-fold sum of elementwise products — deterministic order."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, rank, neighbor_id, sim): exact top-k by cosine.
+    Queries broadcast; ties broken by neighbor_id for determinism."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+# --------------------------------------------------------------------
+# random-hyperplane LSH
+# --------------------------------------------------------------------
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-gaussian hyperplanes from an md5 counter
+    stream (no RNG state: same planes on every executor, run, engine)."""
+    planes: list[list[float]] = []
+    for p in range(n_planes):
+        row: list[float] = []
+        i = 0
+        while len(row) < dim:
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).digest()
+            for off in range(0, 16, 4):
+                (u,) = struct.unpack_from("<I", h, off)
+                # map uniform u to a symmetric triangular-ish value;
+                # sign-LSH only needs symmetry around 0
+                row.append((u / 2**31) - 1.0)
+                if len(row) == dim:
+                    break
+            i += 1
+        planes.append(row)
+    return planes
+
+
+def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit string over the hyperplanes — the LSH bucket key."""
+    bits = [
+        F.when(
+            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for plane in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket-join candidates, exact re-rank.
+
+    Scale shape: corpus is hashed once per table (projection only),
+    the join shuffles (bucket, id) pairs, and the exact cosine runs on
+    candidates only. Missing neighbors (hash misses) are the accepted
+    approximation."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qb = q.withColumn("bucket", bucket_col(F.col("qv"), planes))
+        cb = c.withColumn("bucket", bucket_col(F.col("cv"), planes))
+        pairs = qb.join(cb, "bucket").select("query_id", "qv", "neighbor_id", "cv")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = cand.select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.92,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH candidates +
+    exact threshold: (doc_a, doc_b, sim) with doc_a < doc_b."""
+    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv"))
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        b = v.withColumn("bucket", bucket_col(F.col("vv"), planes))
+        left = b.select(
+            F.col("vid").alias("doc_a"), F.col("vv").alias("va"), "bucket"
+        )
+        right = b.select(
+            F.col("vid").alias("doc_b"), F.col("vv").alias("vb"), "bucket"
+        )
+        pairs = left.join(right, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
+        pairs = pairs.select("doc_a", "va", "doc_b", "vb")
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    return (
+        cand.select(
+            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("sim")
+        )
+        .filter(F.col("sim") >= threshold)
+    )

