@@ -40,7 +40,7 @@ from opentelemetry_log_collection_spark.operators.recombine import RecombineStag
 from opentelemetry_log_collection_spark.pipeline import build_stage
 from opentelemetry_log_collection_spark.transcripts import (
     ORACLE_CTE,
-    load_transcripts,
+    materialized_transcripts,
 )
 
 # --------------------------------------------------------------------
@@ -53,7 +53,7 @@ def _attr(name: str):
 
 
 def _entries(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return to_entries(load_transcripts(spark, sf_dir))
+    return to_entries(materialized_transcripts(spark, sf_dir))
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -114,7 +114,7 @@ def q_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The synthesized input table itself — per-turn text equality
     under stable (conv_id, turn_idx) ordering, the north rule's
     per-row invariant."""
-    t = load_transcripts(spark, sf_dir)
+    t = materialized_transcripts(spark, sf_dir)
     # parquet stores ts as TIMESTAMP_NTZ; session tz is UTC so the
     # ltz cast is instant-preserving and matches DuckDB's epoch_us
     return t.select(

@@ -38,7 +38,7 @@ from .entry import to_entries
 from .operators.enrich import LookupEnrichStage
 from .operators.router import ROUTE_COL, RouterStage
 from .pipeline import Pipeline, build_stage
-from .transcripts import load_transcripts
+from .transcripts import materialized_transcripts
 
 #: Tomcat/httpd common-log-format regex — same named groups as the
 #: reference's example (examples/tomcat/config.yaml regex_parser).
@@ -144,7 +144,7 @@ def tagged_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     The returned frame carries `_route` (int route id); callers filter
     per sink or aggregate counts — all from one cacheable frame.
     """
-    df = to_entries(load_transcripts(spark, sf_dir))
+    df = to_entries(materialized_transcripts(spark, sf_dir))
     df = apply_parsers(df)
     df = apply_enrich(spark, df)
     return router().tag(df)
@@ -174,20 +174,33 @@ def run_flagship(
     fmt: str = "parquet",
 ) -> DataFrame:
     """Full pipeline including per-sink writes when ``out_dir`` given.
-    Returns the per-sink counts frame (the headline aggregate)."""
+    Returns the per-sink counts frame (the headline aggregate).
+
+    The multi-sink fan-out is ONE partitioned write (partitionBy the
+    sink name), not N filtered jobs: every row is parsed once and
+    scanned once; the writer splits files by sink. N separate writes
+    would re-scan the cached frame N times — measured 2x slower at
+    sf0.1, and far worse at cluster scale where the cache spills."""
     tagged = tagged_frame(spark, sf_dir)
     if out_dir is not None:
-        tagged = tagged.persist()
+        tagged = tagged.withColumn("sink", route_name_col()).persist()
         try:
-            for i, name in enumerate(SINK_NAMES):
-                branch = tagged.filter(F.col(ROUTE_COL) == i).drop(ROUTE_COL)
-                branch = branch.sortWithinPartitions("conv_id", "turn_idx")
-                writer = branch.write.mode("overwrite")
-                if fmt == "json":
-                    writer.json(f"{out_dir}/{name}")
-                else:
-                    writer.parquet(f"{out_dir}/{name}")
-            return sink_counts(tagged)
+            out = (
+                tagged.drop(ROUTE_COL)
+                .sortWithinPartitions("sink", "conv_id", "turn_idx")
+                .write.mode("overwrite")
+                .partitionBy("sink")
+            )
+            if fmt == "json":
+                out.json(out_dir)
+            else:
+                out.parquet(out_dir)
+            # materialize the (tiny) counts BEFORE unpersist — the
+            # returned frame must not lazily re-run the parse DAG
+            rows = (
+                tagged.groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect()
+            )
+            return spark.createDataFrame(rows, "sink string, cnt long")
         finally:
             tagged.unpersist()
     return sink_counts(tagged)

@@ -1,0 +1,140 @@
+"""Dedup / similarity / textops unit tests (small literal corpora)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_log_collection_spark import dedup, similarity, textops
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    out = {r["content_hash"]: r for r in dedup.exact_dedup(docs).collect()}
+    assert len(out) == 3  # 0/3 collapse
+    dup_group = [r for r in out.values() if r["n_copies"] == 2]
+    assert len(dup_group) == 1
+    assert dup_group[0]["keep_id"] == 0
+
+
+def test_shingles(spark, docs):
+    sh = dedup.shingles(docs.filter(F.col("doc_id") == 2)).collect()
+    assert [r["shingle"] for r in sh] == [
+        "completely different words",
+        "different words entirely",
+        "words entirely here",
+        "entirely here now",
+    ]
+
+
+def test_minhash_finds_near_dup(spark, docs):
+    out = dedup.minhash_near_dups(docs)
+    pairs = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
+    # the exact dup pair must be found with jaccard 1
+    assert (0, 3) in pairs
+    p = pairs[(0, 3)]
+    assert p["inter_cnt"] == p["union_cnt"]
+    # doc 2 shares nothing with anything
+    assert not any(2 in k for k in pairs)
+
+
+def test_simhash_properties(spark, docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    assert all(len(s) == 16 for s in sigs.values())
+    assert sigs[0] == sigs[3]            # identical text -> identical sig
+    ham = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in zip(sigs[0], sigs[1])
+    )
+    ham_far = sum(
+        bin(int(a, 16) ^ int(b, 16)).count("1")
+        for a, b in zip(sigs[0], sigs[2])
+    )
+    assert ham < ham_far                 # near-dup closer than unrelated
+
+
+def test_token_and_quality_stats(spark):
+    df = spark.createDataFrame([(1, "The cat, the hat: 2 hats!")], ["doc_id", "text"])
+    t = textops.token_stats(df).collect()[0]
+    assert t["tok_cnt"] == 6
+    assert t["stop_cnt"] == 2            # 'The' + 'the'
+    assert t["uniq_tok_cnt"] == 5        # 'the' collapses
+    q = textops.quality_stats(df).collect()[0]
+    assert q["punct_cnt"] == 3           # , : !
+    assert q["digit_cnt"] == 1
+    assert q["space_cnt"] == 5
+
+
+def test_fingerprint_prefix_semantics(spark):
+    long_a = "x" * 100 + "tail-a"
+    long_b = "x" * 100 + "tail-b"
+    df = spark.createDataFrame([(1, long_a), (2, long_b)], ["doc_id", "text"])
+    fps = {r["doc_id"]: r["fp"] for r in textops.fingerprint(df).collect()}
+    assert fps[1] == fps[2]              # identical first-64 prefix
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog are in the house"),
+        (2, "la casa de la abuela que está en el pueblo"),
+        (3, "der hund und die katze sind schön"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_guess"] for r in textops.language_id(df).collect()}
+    assert got[1] == "en"
+    assert got[2] == "es"
+    assert got[3] == "de"
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.9, 0.1, 0.0]),   # closest to 2
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # anti-parallel to 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+
+
+def test_brute_force_topk(spark, vectors):
+    q = vectors.filter(F.col("vec_id").isin(0, 2))
+    out = similarity.brute_force_topk(q, vectors, k=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    assert sorted(by_q[0])[0] == (1, 1)
+    assert sorted(by_q[2])[0] == (1, 3)
+
+
+def test_lsh_topk_ranks_are_true_cosine_order(spark, vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(q, vectors, k=3, dim=4, n_planes=2, n_tables=3)
+    rows = sorted((r["rank"], r["neighbor_id"], r["sim"]) for r in out.collect())
+    sims = [s for _, _, s in rows]
+    assert sims == sorted(sims, reverse=True)
+    if rows:
+        assert rows[0][1] == 1  # vec 1 is in every bucket vec 0 is in
+
+
+def test_embedding_near_dups(spark, vectors):
+    out = similarity.embedding_near_dups(
+        vectors, threshold=0.99, dim=4, n_planes=1, n_tables=2
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert (0, 1) in pairs or pairs == set()  # recall-dependent but never wrong
+    for r in out:
+        assert r["sim"] >= 0.99
