@@ -38,16 +38,22 @@ def words_col(text: Column) -> Column:
 
 
 def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE) -> DataFrame:
-    """(doc_id, shingle) — one row per overlapping n-word shingle."""
-    w = words_col(F.col(text_col))
-    idx = F.sequence(F.lit(0), F.size(w) - n)
+    """(doc_id, shingle) — one row per overlapping n-word shingle.
+
+    The tokenized array is materialized as its own column FIRST: a
+    lambda body can't share subexpressions, so referencing the split
+    directly inside transform() re-tokenizes the text per element —
+    O(words^2) work per doc (measured 30x slower at sf0.1). slice()
+    over the bound column keeps it one tokenize per row."""
+    ws = F.col("_ws")
     sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(w, (i + j + 1).cast("int")) for j in range(n)]
-        ),
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.array_join(F.slice(ws, i, n), " "),
     )
-    return df.select("doc_id", F.explode(sh).alias("shingle"))
+    return (
+        df.withColumn("_ws", words_col(F.col(text_col)))
+        .select("doc_id", F.explode(sh).alias("shingle"))
+    )
 
 
 # --------------------------------------------------------------------

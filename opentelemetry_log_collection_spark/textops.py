@@ -33,10 +33,12 @@ def tokens_col(text: Column) -> Column:
 
 
 def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id + token/char/stopword counts, all JVM-side."""
-    toks = tokens_col(F.col(text_col))
+    """doc_id + token/char/stopword counts, all JVM-side. The token
+    array is bound to a column first so the text is tokenized once,
+    not once per referencing expression."""
+    toks = F.col("_toks")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    return df.select(
+    return df.withColumn("_toks", tokens_col(F.col(text_col))).select(
         F.col("doc_id"),
         F.size(toks).alias("tok_cnt"),
         F.length(F.col(text_col)).alias("char_cnt"),
@@ -52,7 +54,8 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     counts, mean token length (doubles kept out of oracle-checked
     outputs; counts are exact ints)."""
     t = F.col(text_col)
-    toks = tokens_col(t)
+    toks = F.col("_toks")
+    df = df.withColumn("_toks", tokens_col(t))
     return df.select(
         F.col("doc_id"),
         F.length(t).alias("char_cnt"),
