@@ -483,6 +483,47 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "rank", "neighbor_id")
 
 
+def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents re-cast as opaque media assets: payload = utf-8
+    bytes, kind cycled. Exercises the multimodal plumbing (schema,
+    byte-budget batching, mapInPandas signatures) over real sf-scaled
+    data; the decoder itself is the documented stub."""
+    docs = _documents(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+        F.length(F.col("text")).cast("long").alias("n_bytes"),
+        F.create_map(F.lit("lang"), F.col("lang")).alias("meta"),
+    )
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction plumbing (mapInPandas, stubbed
+    decode) — rows-only check."""
+    from opentelemetry_log_collection_spark.multimodal import extract_features
+
+    return extract_features(_doc_assets(spark, sf_dir))
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (one row -> many) — rows-only."""
+    from opentelemetry_log_collection_spark.multimodal import sample_frames
+
+    out = sample_frames(_doc_assets(spark, sf_dir))
+    return out.select(
+        "asset_id",
+        "frame_idx",
+        F.length(F.col("frame")).cast("int").alias("frame_bytes"),
+    )
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -520,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_topk": q_embed_topk,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
+        "media_features": q_media_features,
+        "media_frames": q_media_frames,
     }
 
 
@@ -770,6 +813,12 @@ FROM documents"""
     sqls["fingerprint"] = (
         "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
     )
+
+    sqls["media_frames"] = """
+SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,
+       CAST(16 AS INTEGER) AS frame_bytes
+FROM (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2) d,
+UNNEST(generate_series(0, least(7, n // 16 - 1))) AS t(i)"""
 
     sqls["embed_topk"] = """
 WITH q AS (

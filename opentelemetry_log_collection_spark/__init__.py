@@ -14,8 +14,12 @@ Public surface:
   - transcripts: deterministic transcript table synthesis (dual-dialect)
   - pipeline:    YAML config -> Stage DAG -> DataFrame plan
   - operators:   the 20+ operator types from SURVEY.md section 2
-  - checkpoint:  bucketed resume with lineage + metrics
-  - textops / similarity: training-data pipeline extensions
+  - flagship:    parse -> enrich -> route -> multi-sink reference pipeline
+  - checkpoint:  bucketed resume with per-partition lineage + metrics
+  - streaming:   Structured Streaming layer (stateful recombine,
+                 foreachBatch multi-sink)
+  - dedup / similarity / textops / multimodal: training-data pipeline
+                 extensions (minhash-LSH, simhash, ANN, lang-ID, media)
 """
 
 __version__ = "0.1.0"

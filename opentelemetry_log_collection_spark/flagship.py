@@ -138,16 +138,21 @@ def router() -> RouterStage:
 SINK_NAMES = [r["output"] for r in ROUTES] + ["sink_rest"]
 
 
+def tag_transcripts(spark: SparkSession, transcripts: DataFrame) -> DataFrame:
+    """transcripts df -> entries -> parse -> enrich -> routed-tag."""
+    df = to_entries(transcripts)
+    df = apply_parsers(df)
+    df = apply_enrich(spark, df)
+    return router().tag(df)
+
+
 def tagged_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """transcripts -> entries -> parse -> enrich -> routed-tag frame.
 
     The returned frame carries `_route` (int route id); callers filter
     per sink or aggregate counts — all from one cacheable frame.
     """
-    df = to_entries(materialized_transcripts(spark, sf_dir))
-    df = apply_parsers(df)
-    df = apply_enrich(spark, df)
-    return router().tag(df)
+    return tag_transcripts(spark, materialized_transcripts(spark, sf_dir))
 
 
 def route_name_col():

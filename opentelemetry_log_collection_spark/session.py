@@ -29,6 +29,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # local-bench scan granularity: the test tables are a few MB,
+        # which the 128MB default packs into 1-5 splits — capping
+        # parallelism at 5 tasks no matter how many cores. Force at
+        # least one split per core and small bins. 100TB deployments
+        # override these back up via extra_conf.
+        .config("spark.sql.files.maxPartitionBytes", "1m")
+        .config("spark.sql.files.openCostInBytes", "16k")
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

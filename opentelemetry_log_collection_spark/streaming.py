@@ -1,0 +1,230 @@
+"""Structured Streaming layer: the continuous-agent semantics of the
+reference, re-expressed on Spark's streaming engine.
+
+The reference is a long-running agent: file pollers tail sources
+(operator/input/file/file.go:100-163), recombine buffers partial
+batches per source and flushes on boundary/timeout
+(operator/transformer/recombine/recombine.go:152-176,225-274), and
+offsets persist for resume (file.go:298-361). The Spark mapping:
+
+  reference                       | streaming engine
+  --------------------------------+--------------------------------
+  file poller / tail              | readStream (file source) with
+                                  |   maxFilesPerTrigger backpressure
+  per-file offsets + Persister    | checkpointLocation (WAL + state)
+  recombine state machine         | applyInPandasWithState keyed by
+                                  |   source, GroupStateTimeout =
+                                  |   force_flush_period
+  downstream operator chain       | the SAME column-expression stages
+                                  |   as batch (they are plan-level,
+                                  |   engine-agnostic)
+  multi-sink fan-out              | foreachBatch: tag once, one
+                                  |   partitioned write per microbatch
+
+Everything stateless (parsers/transforms/router) is shared with the
+batch path verbatim — a DataFrame transformation doesn't care whether
+its source is bounded. Only recombine needs true state.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from .entry import to_entries
+from .flagship import ROUTE_COL, apply_parsers, route_name_col, router
+from .transcripts import materialized_transcripts
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+    ]
+)
+
+
+def stream_transcripts(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The transcript table as an unbounded source (file stream over
+    the materialized parquet — stands in for a Kafka/Iceberg CDC feed).
+    maxFilesPerTrigger is the backpressure knob ≙ the reference's
+    max_concurrent_files (operator/input/file/config.go)."""
+    # ensure materialized
+    materialized_transcripts(spark, sf_dir)
+    from .transcripts import _CACHE_ROOT  # noqa: PLC0415
+    import hashlib
+    import os
+
+    key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key)
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+# --------------------------------------------------------------------
+# stateful streaming recombine
+# --------------------------------------------------------------------
+
+_RECOMBINE_OUT = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_parts", T.IntegerType()),
+    ]
+)
+
+#: open-batch state: pieces + their order keys + base turn_idx
+_RECOMBINE_STATE = T.StructType(
+    [
+        T.StructField("idxs", T.ArrayType(T.IntegerType())),
+        T.StructField("texts", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def streaming_recombine(
+    entries: DataFrame,
+    combine_with: str = "\n",
+    max_batch_size: int = 1000,
+    flush_timeout_ms: int = 5000,
+    is_first_role: str = "user",
+) -> DataFrame:
+    """recombine as applyInPandasWithState keyed by conv_id.
+
+    Boundary semantics mirror the batch operator (and the reference,
+    recombine.go:225-242): a first-boundary row flushes the open
+    batch and starts a new one; rows before any boundary flush alone;
+    ``max_batch_size`` force-flushes; the state timeout is the
+    ``force_flush_period`` analogue (recombine.go:152-176).
+
+    The predicate is pre-evaluated into a `_match` column by the
+    CALLER's plan (vectorized) — the stateful function only runs the
+    buffering state machine, one Arrow batch per (key, microbatch).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        conv_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                idxs, texts = state.get
+                state.remove()
+                if texts:
+                    yield pd.DataFrame(
+                        {
+                            "source": [conv_id],
+                            "turn_idx": [idxs[0]],
+                            "text": [combine_with.join(texts)],
+                            "n_parts": [len(texts)],
+                        }
+                    )
+            return
+
+        idxs, texts = (list(state.get) if state.exists else ([], []))
+        idxs, texts = list(idxs), list(texts)
+        out_rows: list[tuple] = []
+
+        def flush():
+            nonlocal idxs, texts
+            if texts:
+                out_rows.append(
+                    (conv_id, idxs[0], combine_with.join(texts), len(texts))
+                )
+            idxs, texts = [], []
+
+        for pdf in pdfs:
+            pdf = pdf.sort_values("turn_idx")
+            for _, row in pdf.iterrows():
+                first = bool(row["_match"])
+                if first:
+                    flush()  # boundary closes the previous batch
+                elif not texts:
+                    # lone non-matching row with empty batch flushes
+                    # alone (recombine.go:236-242)
+                    out_rows.append((conv_id, int(row["turn_idx"]), row["text"], 1))
+                    continue
+                idxs.append(int(row["turn_idx"]))
+                texts.append(row["text"])
+                if len(texts) >= max_batch_size:
+                    flush()
+
+        if texts:
+            state.update((idxs, texts))
+            state.setTimeoutDuration(flush_timeout_ms)
+        elif state.exists:
+            state.remove()
+        if out_rows:
+            yield pd.DataFrame(
+                out_rows, columns=["source", "turn_idx", "text", "n_parts"]
+            )
+
+    matched = (F.col("role") == F.lit(is_first_role)).alias("_match")
+    keyed = entries.select("conv_id", "turn_idx", "text", matched)
+    return keyed.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=_RECOMBINE_OUT,
+        stateStructType=_RECOMBINE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+# --------------------------------------------------------------------
+# streaming flagship: parse -> route -> foreachBatch multi-sink
+# --------------------------------------------------------------------
+
+
+def streaming_flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+):
+    """The flagship pipeline as a stream: stateless stages are the
+    SAME plan as batch; the multi-sink fan-out happens per microbatch
+    in foreachBatch (tag once -> one partitioned append), and counts
+    accumulate in a parquet metrics dir. Returns the started query."""
+    src = stream_transcripts(spark, sf_dir, max_files_per_trigger)
+    entries = apply_parsers(to_entries(src))
+    tagged = router().tag(entries).withColumn("sink", route_name_col())
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.drop(ROUTE_COL)
+                .write.mode("append")
+                .partitionBy("sink")
+                .parquet(f"{out_dir}/data")
+            )
+            (
+                batch_df.groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .withColumn("batch_id", F.lit(batch_id))
+                .write.mode("append")
+                .parquet(f"{out_dir}/counts")
+            )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        tagged.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -138,5 +138,43 @@ def materialized_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     path = os.path.join(_CACHE_ROOT, key)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load_transcripts(spark, sf_dir).write.mode("overwrite").parquet(path)
+        # cluster by conversation and write enough files that a scan
+        # can fan out (local files are ~100KB; at real scale Iceberg
+        # bucketing by conv_id plays this role)
+        (
+            load_transcripts(spark, sf_dir)
+            .repartition(64, "conv_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+    return spark.read.parquet(path)
+
+
+def inflated_transcripts(
+    spark: SparkSession, sf_dir: str, factor: int
+) -> DataFrame:
+    """The transcript table replicated ``factor``x with distinct
+    conv_ids per replica (conv-XXXX#rep) — a deterministic stand-in
+    for a larger scale factor. Materialized once and shared, so a
+    scaling comparison at two parallelism levels reads the IDENTICAL
+    stored table."""
+    if factor <= 1:
+        return materialized_transcripts(spark, sf_dir)
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(f"{os.path.abspath(sf_dir)}|x{factor}".encode()).hexdigest()[:12]
+    path = os.path.join(_CACHE_ROOT, key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        base = materialized_transcripts(spark, sf_dir)
+        reps = spark.range(factor).select(F.col("id").alias("_rep"))
+        (
+            base.crossJoin(reps)
+            .withColumn(
+                "conv_id", F.concat_ws("#", F.col("conv_id"), F.col("_rep"))
+            )
+            .drop("_rep")
+            .repartition(256, "conv_id")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return spark.read.parquet(path)
