@@ -188,6 +188,12 @@ def run_flagship(
     sf0.1, and far worse at cluster scale where the cache spills."""
     tagged = tagged_frame(spark, sf_dir)
     if out_dir is not None:
+        # deliberately NO repartition here: the parse->route path is
+        # stateless, so a pre-write shuffle of the wide entry rows
+        # (3 map columns) costs more than it saves (measured 3x at
+        # 5M rows). Scan partitioning carries through to the write;
+        # conversation co-location is the checkpoint runner's and
+        # recombine's job, where the shuffle buys semantics.
         tagged = tagged.withColumn("sink", route_name_col()).persist()
         try:
             out = (

@@ -75,6 +75,35 @@ class GenerateInputStage(Stage):
         return df
 
 
+@register("stdin")
+class StdinInputStage(Stage):
+    """Line-per-entry local input (operator/input/stdin/stdin.go:43-117)
+    ≙ ``spark.createDataFrame`` of driver-read lines — a test/dev path,
+    never a cluster-scale source."""
+
+    type_name = "stdin"
+
+    def __init__(self, lines: list[str] | None = None, **kw):
+        super().__init__(**kw)
+        self.lines = lines
+
+    def generate(self, spark: SparkSession, lines: list[str] | None = None) -> DataFrame:
+        import sys
+
+        data = lines if lines is not None else self.lines
+        if data is None:
+            data = [ln.rstrip("\n") for ln in sys.stdin]
+        df = spark.createDataFrame(
+            [("stdin", i, "", t, "", None) for i, t in enumerate(data)],
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp",
+        )
+        return to_entries(df)
+
+    def apply(self, df: DataFrame) -> DataFrame:  # source: passthrough
+        return df
+
+
 class Sink(Stage):
     @property
     def is_sink(self) -> bool:

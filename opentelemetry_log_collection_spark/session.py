@@ -41,6 +41,16 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # throughput GC: G1's pause-target pacing collapses under 32
+        # mutator threads of columnar churn (measured 2-4x slower than
+        # ParallelGC on the flagship at local[32])
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # task-side commit (v2): the v1 driver-side serial rename of
+        # every task's partitioned output files is an Amdahl tail that
+        # grows with task count
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2"
+        )
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)

@@ -1,0 +1,139 @@
+"""router + recombine edge-rule tests (router.go:116-141,
+recombine.go:225-335)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opentelemetry_log_collection_spark.operators.recombine import RecombineStage
+from opentelemetry_log_collection_spark.operators.router import RouterStage
+from tests.conftest import collected, make_entries
+
+
+def test_router_first_match_wins_with_overlap(spark):
+    df = make_entries(spark, [("aa", "user"), ("ab", "system"), ("bb", "tool")])
+    r = RouterStage(
+        routes=[
+            {"expr": 'body startsWith "a"', "output": "s1"},
+            # overlaps with route 0 for "ab" — must NOT fire for it
+            {"expr": 'body contains "b"', "output": "s2"},
+        ],
+        default="rest",
+    )
+    routed = r.route(df)
+    assert [x["text"] for x in collected(routed["s1"], "text")] == ["aa", "ab"]
+    assert [x["text"] for x in collected(routed["s2"], "text")] == ["bb"]
+    assert collected(routed["rest"], "text") == []
+
+
+def test_router_unmatched_dropped_without_default(spark):
+    df = make_entries(spark, ["match", "nomatch"])
+    r = RouterStage(routes=[{"expr": 'body == "match"', "output": "s"}])
+    routed = r.route(df)
+    assert set(routed) == {"s"}
+    assert routed["s"].count() == 1
+    assert r.tag(df).count() == 1  # unmatched row dropped
+
+
+def test_router_stamps_route_attributes(spark):
+    df = make_entries(spark, ["x"])
+    r = RouterStage(
+        routes=[{"expr": "true", "output": "s", "attributes": {"team": "sre"}}]
+    )
+    routed = r.route(df)
+    assert collected(routed["s"], "attributes")[0]["attributes"]["team"] == "sre"
+
+
+def test_router_multiple_routes_one_output_union(spark):
+    df = make_entries(spark, ["a1", "b2", "c3"])
+    r = RouterStage(
+        routes=[
+            {"expr": 'body startsWith "a"', "output": "s"},
+            {"expr": 'body startsWith "b"', "output": "s"},
+        ]
+    )
+    routed = r.route(df)
+    assert sorted(x["text"] for x in collected(routed["s"], "text")) == ["a1", "b2"]
+
+
+# ---- recombine -------------------------------------------------------
+
+
+def _stitch(spark, texts, **kw):
+    df = make_entries(spark, texts)
+    defaults = dict(
+        combine_field="body",
+        source_identifier="resource.conv_id",
+        order_by=["turn_idx"],
+    )
+    defaults.update(kw)
+    out = RecombineStage(**defaults).apply(df)
+    return [(r["turn_idx"], r["text"]) for r in collected(out, "turn_idx", "text")]
+
+
+def test_recombine_is_first_entry(spark):
+    texts = [("START a", "user"), ("cont1", "system"), ("cont2", "system"),
+             ("START b", "user"), ("cont3", "system")]
+    got = _stitch(spark, texts, is_first_entry='body startsWith "START"')
+    assert got == [(0, "START a\ncont1\ncont2"), (3, "START b\ncont3")]
+
+
+def test_recombine_lone_leading_rows_flush_alone(spark):
+    # rows before any first-boundary emit individually (recombine.go:236-242)
+    texts = [("orphan1", "system"), ("orphan2", "system"), ("START", "user")]
+    got = _stitch(spark, texts, is_first_entry='body startsWith "START"')
+    assert got == [(0, "orphan1"), (1, "orphan2"), (2, "START")]
+
+
+def test_recombine_is_last_entry_closes_group(spark):
+    texts = ["l1", "l2", "END", "l3", "END2"]
+    got = _stitch(spark, texts, is_last_entry='body startsWith "END"')
+    assert got == [(0, "l1\nl2\nEND"), (3, "l3\nEND2")]
+
+
+def test_recombine_max_batch_size_splits(spark):
+    texts = [("s", "user")] + [(f"c{i}", "system") for i in range(5)]
+    got = _stitch(
+        spark, texts, is_first_entry='attributes.role == "user"', max_batch_size=3
+    )
+    assert got == [(0, "s\nc0\nc1"), (3, "c2\nc3\nc4")]
+
+
+def test_recombine_overwrite_newest_base(spark):
+    texts = [("a", "user"), ("b", "system")]
+    got = _stitch(
+        spark, texts, is_first_entry='attributes.role == "user"',
+        overwrite_with="newest",
+    )
+    # base entry is the newest (turn 1) but text is the full concat
+    assert got == [(1, "a\nb")]
+
+
+def test_recombine_custom_combine_with(spark):
+    texts = [("x", "user"), ("y", "system")]
+    got = _stitch(
+        spark, texts, is_first_entry='attributes.role == "user"', combine_with=" | "
+    )
+    assert got == [(0, "x | y")]
+
+
+def test_recombine_missing_source_shared_bucket(spark):
+    # source_identifier reads a missing attr -> all rows share the
+    # default bucket (recombine.go:212-221)
+    texts = [("a", "user"), ("b", "system")]
+    df = make_entries(spark, texts)
+    out = RecombineStage(
+        combine_field="body",
+        is_first_entry='attributes.role == "user"',
+        source_identifier='attributes["file.path"]',
+        order_by=["turn_idx"],
+    ).apply(df)
+    assert [r["text"] for r in collected(out, "text")] == ["a\nb"]
+
+
+def test_recombine_requires_exactly_one_boundary():
+    with pytest.raises(ValueError):
+        RecombineStage(combine_field="body")
+    with pytest.raises(ValueError):
+        RecombineStage(combine_field="body", is_first_entry="true", is_last_entry="true")

@@ -41,13 +41,16 @@ spark = get_spark(f"local[{cores}]", shuffle_partitions=cores,
 t = inflated_transcripts(spark, sf_dir, inflate)  # built once, shared
 
 def pipeline(out):
-    tagged = tag_transcripts(spark, t).withColumn("sink", route_name_col()).persist()
+    # no persist: at 10M+ rows caching the full wide frame just to
+    # count it costs more memory than it saves; counts come from the
+    # written dataset's footers (metadata-only scan)
+    tagged = tag_transcripts(spark, t).withColumn("sink", route_name_col())
     (tagged.drop(ROUTE_COL)
            .sortWithinPartitions("sink", "conv_id", "turn_idx")
            .write.mode("overwrite").partitionBy("sink").parquet(out))
     rows = sum(r["cnt"] for r in
-               tagged.groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect())
-    tagged.unpersist()
+               spark.read.parquet(out).groupBy("sink")
+                    .agg(F.count(F.lit(1)).alias("cnt")).collect())
     return rows
 
 out = tempfile.mkdtemp(prefix="scale_sinks_")
@@ -64,10 +67,16 @@ spark.stop()
 
 
 def run_level(sf_dir: str, cores: int, inflate: int, reps: int) -> dict:
+    import os
+
+    env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
     out = subprocess.run(
         [sys.executable, "-c", _CHILD, sf_dir, str(cores), str(inflate), str(reps)],
-        capture_output=True, text=True, check=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd="/root/repo", env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"child at {cores} cores failed rc={out.returncode}")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
