@@ -506,10 +506,27 @@ def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal feature extraction plumbing (mapInPandas, stubbed
-    decode) — rows-only check."""
+    decode). The stub feature is md5-derived (multimodal.py), so the
+    check projects the feature back to its byte values — hashable
+    scalars the driver can canonicalize AND a value DuckDB can
+    reproduce from md5(kind || text)."""
     from opentelemetry_log_collection_spark.multimodal import extract_features
 
-    return extract_features(_doc_assets(spark, sf_dir))
+    feats = extract_features(_doc_assets(spark, sf_dir))
+    # feature[i] = byte_i / 255.0 as float32; *255 + round recovers the
+    # exact byte (float32 relative error ~1e-7 << 0.5)
+    return feats.select(
+        "asset_id",
+        "kind",
+        F.size(F.col("feature")).cast("int").alias("feature_dim"),
+        F.array_join(
+            F.transform(
+                F.col("feature"),
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+            ",",
+        ).alias("feature_bytes"),
+    )
 
 
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -813,6 +830,28 @@ FROM documents"""
     sqls["fingerprint"] = (
         "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
     )
+
+    # the multimodal stub feature is byte i of md5(kind || payload)
+    # scaled to [0,1]; payload is the utf-8 text, so DuckDB recovers
+    # the exact bytes from the md5 hex (multimodal.py:_decode_stub)
+    sqls["media_features"] = """
+WITH a AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+), h AS (
+  SELECT asset_id, kind, md5(kind || text) AS hx FROM a
+)
+SELECT asset_id, kind, CAST(16 AS INTEGER) AS feature_dim,
+       string_agg(
+         CAST((strpos('0123456789abcdef', substr(hx, 2*i+1, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(hx, 2*i+2, 1)) - 1) AS VARCHAR),
+         ',' ORDER BY i) AS feature_bytes
+FROM h, UNNEST(generate_series(0, 15)) AS t(i)
+GROUP BY asset_id, kind"""
 
     sqls["media_frames"] = """
 SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,

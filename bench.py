@@ -65,16 +65,18 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    turns_per_sec = round(n_turns / flagship_sec, 1)
     print(
         json.dumps(
             {
                 "metric": "parsed+routed turns/sec end-to-end (flagship)",
-                "value": total,
-                "unit": "sec",
+                "value": turns_per_sec,
+                "unit": "turns/sec",
                 "queries": timings,
+                "total_sec": total,
                 "sf": sf,
                 "n_turns": n_turns,
-                "turns_per_sec": round(n_turns / flagship_sec, 1),
+                "turns_per_sec": turns_per_sec,
                 "routed_counts": routed,
                 "cpus": cpus,
             }

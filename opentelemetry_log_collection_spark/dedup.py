@@ -44,12 +44,22 @@ def shingles(df: DataFrame, text_col: str = "text", n: int = SHINGLE) -> DataFra
     lambda body can't share subexpressions, so referencing the split
     directly inside transform() re-tokenizes the text per element —
     O(words^2) work per doc (measured 30x slower at sf0.1). slice()
-    over the bound column keeps it one tokenize per row."""
+    over the bound column keeps it one tokenize per row.
+
+    Docs shorter than n words yield ZERO shingles (they vanish from
+    the exploded frame, same as the oracle's empty generate_series):
+    the sequence() is gated on size >= n because Spark's sequence
+    defaults to step -1 when start > stop, which would feed slice() a
+    start of 0 and abort the job on any 1-2 word doc."""
     ws = F.col("_ws")
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-        lambda i: F.array_join(F.slice(ws, i, n), " "),
+    sh = F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.array_join(F.slice(ws, i, n), " "),
+        ),
     )
+    # explode (not explode_outer): a null shingle array drops the doc
     return (
         df.withColumn("_ws", words_col(F.col(text_col)))
         .select("doc_id", F.explode(sh).alias("shingle"))

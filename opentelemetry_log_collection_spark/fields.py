@@ -53,18 +53,20 @@ def _empty_map() -> Column:
     return F.create_map().cast(MAP_SS)
 
 
-def _ensure_last_win() -> bool:
-    """Flip the active session to mapKeyDedupPolicy=LAST_WIN (the
-    engine's required execution mode). Returns False when there is no
-    active session to configure (bare Column construction in tests)."""
+def _last_win_active() -> bool:
+    """True when the active session already runs with
+    mapKeyDedupPolicy=LAST_WIN. READ-ONLY: sessions the engine creates
+    get the policy from ``session.get_spark``; a caller-provided
+    session is never reconfigured from inside Column construction (the
+    conf is read at execution time, so flipping it here would silently
+    change duplicate-key semantics of the caller's other queries)."""
     from pyspark.sql import SparkSession
 
     s = SparkSession.getActiveSession()
-    if s is None:
-        return False
-    if s.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") != "LAST_WIN":
-        s.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
-    return True
+    return (
+        s is not None
+        and s.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION") == "LAST_WIN"
+    )
 
 
 def merge_maps(base: Column, new: Column) -> Column:
@@ -72,14 +74,15 @@ def merge_maps(base: Column, new: Column) -> Column:
     Merge).
 
     Fast path: plain ``map_concat`` under mapKeyDedupPolicy=LAST_WIN —
-    later keys win natively, whole-stage-codegen friendly, one pass.
-    The engine sets the policy on the active session (3.3x cheaper on
-    the flagship's 4-stage merge chain than the policy-independent
-    filter+concat, measured at sf0.1). Fallback when no session is
-    active at plan time: filter+concat, which never forms duplicate
-    keys and is correct under any policy."""
+    later keys win natively, whole-stage-codegen friendly, one pass
+    (3.3x cheaper on the flagship's 4-stage merge chain than the
+    policy-independent filter+concat, measured at sf0.1). Taken only
+    when the active session ALREADY has the policy set (get_spark sets
+    it on engine-created sessions). Default path for any other
+    session: filter+concat, which never forms duplicate keys and is
+    correct under any policy."""
     new_nn = F.coalesce(new, _empty_map())
-    if _ensure_last_win():
+    if _last_win_active():
         return F.map_concat(base, new_nn)
     kept = F.map_filter(
         base, lambda k, _v: ~F.array_contains(F.map_keys(new_nn), k)

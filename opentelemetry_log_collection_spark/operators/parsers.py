@@ -279,7 +279,10 @@ class CsvParserStage(ParserStage):
 # key_value_parser — operator/parser/keyvalue/keyvalue.go:36-139
 # --------------------------------------------------------------------
 
-_QUOTE_AWARE_PAIR = _re.compile(r'(?:[^\s"\']+|"[^"]*"|\'[^\']*\')+')
+# quote-aware whitespace tokenizer. Space-only split (not \s):
+# the reference's FieldsFunc splits on r == ' ' exclusively
+# (keyvalue.go:130-139), so tabs ride inside tokens.
+_QUOTE_AWARE_PAIR = _re.compile(r'(?:[^ "\']+|"[^"]*"|\'[^\']*\')+')
 
 
 @register("key_value_parser")
@@ -299,83 +302,84 @@ class KeyValueParserStage(ParserStage):
         self.impl = impl
 
     def _trim(self, c: Column) -> Column:
-        # trim space then quotes, like keyvalue.go's cleanup
-        return F.regexp_replace(
-            F.regexp_replace(F.trim(c), '^["\']', ""), '["\']$', ""
+        # strings.TrimSpace(strings.Trim(x, "\"'")) — strip ALL
+        # leading/trailing quote chars FIRST, then whitespace
+        # (keyvalue.go:122-123)
+        return F.trim(
+            F.regexp_replace(F.regexp_replace(c, '^["\']+', ""), '["\']+$', "")
+        )
+
+    def _bad_pair(self, p: Column) -> Column:
+        # strings.Split must yield exactly 2 items (keyvalue.go:114-117):
+        # zero delimiters AND two-or-more delimiters (a=b=c, or a
+        # quoted key/value containing the delimiter) are both malformed
+        d = self.delimiter
+        n = (F.length(p) - F.length(F.replace(p, F.lit(d), F.lit("")))) / F.lit(
+            len(d)
+        )
+        return n != F.lit(1)
+
+    def _kv_entries(self, pairs: Column) -> Column:
+        delim = self.delimiter
+        return F.transform(
+            pairs,
+            lambda p: F.struct(
+                self._trim(F.substring_index(p, delim, 1)).alias("key"),
+                self._trim(
+                    F.substring(
+                        p,
+                        F.length(F.substring_index(p, delim, 1))
+                        + F.lit(len(delim) + 1),
+                        F.length(p),
+                    )
+                ).alias("value"),
+            ),
         )
 
     def parse(self, src: Column) -> Column:
-        delim = self.delimiter
+        # empty input is a parse error (keyvalue.go:105-107); a
+        # non-empty input with zero extractable pairs parses to an
+        # empty map with no error, like the Go loop over zero pairs
+        nonempty = src.isNotNull() & (src != F.lit(""))
         if self.pair_delimiter is not None:
-            # builtin expression pipeline: split pairs, SplitN(2) each
+            # builtin expression pipeline: split pairs, Split-2 each
             pairs = F.split(src, _re.escape(self.pair_delimiter))
-            kv = F.transform(
-                pairs,
-                lambda p: F.struct(
-                    self._trim(F.substring_index(p, delim, 1)).alias("key"),
-                    self._trim(
-                        F.substring(
-                            p,
-                            F.length(F.substring_index(p, delim, 1))
-                            + F.lit(len(delim) + 1),
-                            F.length(p),
-                        )
-                    ).alias("value"),
-                ),
+            bad = F.exists(pairs, self._bad_pair)
+            return F.when(
+                nonempty & ~bad, F.map_from_entries(self._kv_entries(pairs))
             )
-            # a pair without the delimiter is malformed -> whole parse
-            # errors (multierror aborts ParseWith)
-            bad = F.exists(pairs, lambda p: ~p.contains(delim))
-            return F.when(src.isNotNull() & ~bad, F.map_from_entries(kv))
 
         if self.impl == "builtin":
             # quote-aware whitespace pair split (keyvalue.go:130-139)
             # fully JVM-side: tokenize with the same quote-group regex
-            # the pandas path compiles, then SplitN(2)-style split per
-            # pair. No python worker in the hot path.
+            # the pandas path compiles, then exact-2 split per pair.
+            # No python worker in the hot path.
             pairs = F.regexp_extract_all(
                 src, F.lit(_QUOTE_AWARE_PAIR.pattern), 0
             )
-            bad = F.exists(pairs, lambda p: ~p.contains(delim))
-            kv = F.transform(
-                pairs,
-                lambda p: F.struct(
-                    self._trim(F.substring_index(p, delim, 1)).alias("key"),
-                    self._trim(
-                        F.substring(
-                            p,
-                            F.length(F.substring_index(p, delim, 1))
-                            + F.lit(len(delim) + 1),
-                            F.length(p),
-                        )
-                    ).alias("value"),
-                ),
-            )
-            empty = F.size(pairs) == 0
+            bad = F.exists(pairs, self._bad_pair)
             return F.when(
-                src.isNotNull() & ~bad & ~empty, F.map_from_entries(kv)
+                nonempty & ~bad, F.map_from_entries(self._kv_entries(pairs))
             )
 
-        d = delim
+        d = delim = self.delimiter
 
         @F.pandas_udf(MAP_SS)
         def parse_kv(s: pd.Series) -> pd.Series:
             def trim(x: str) -> str:
-                x = x.strip()
-                if len(x) >= 2 and x[0] == x[-1] and x[0] in "\"'":
-                    return x[1:-1]
-                return x.strip("\"'")
+                # Trim(x, "\"'") then TrimSpace, same as the Go cleanup
+                return x.strip("\"'").strip()
 
             def one(x):
-                if x is None:
+                if x is None or x == "":
                     return None
                 out = {}
                 for pair in _QUOTE_AWARE_PAIR.findall(x):
-                    if d not in pair:
+                    parts = pair.split(d)
+                    if len(parts) != 2:
                         return None  # malformed pair -> parse error
-                    k, _, v = pair.partition(d)
-                    out[trim(k)] = trim(v)
-                return out or None
+                    out[trim(parts[0])] = trim(parts[1])
+                return out
 
             return s.map(one)
 

@@ -26,6 +26,11 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
+        # engine-created sessions run merge-overwrite via plain
+        # map_concat (fields.merge_maps fast path); caller-provided
+        # sessions without this policy get the policy-independent
+        # filter+concat instead
+        .config("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

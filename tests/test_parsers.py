@@ -109,6 +109,45 @@ def test_keyvalue_malformed_pair_errors(spark):
     assert out.count() == 0
 
 
+def test_keyvalue_double_delimiter_errors(spark):
+    """keyvalue.go:114-117 — strings.Split must yield exactly 2 items,
+    so a=b=c (and a quoted value containing '=') is malformed."""
+    for text in ["a=b=c", 'k="v=w"', "ok=1 a=b=c"]:
+        df = make_entries(spark, [text])
+        out = run1(df, {"type": "key_value_parser", "on_error": "drop"})
+        assert out.count() == 0, text
+    # on_error=send forwards the original entry untouched
+    df = make_entries(spark, ["a=b=c"])
+    out = run1(df, {"type": "key_value_parser", "on_error": "send"})
+    [row] = collected(out, "attributes")
+    assert "a" not in (row["attributes"] or {})
+
+
+def test_keyvalue_empty_vs_no_pairs(spark):
+    """keyvalue.go:105-107 — empty input errors; non-empty input with
+    zero pairs parses to an empty map with no error. Both impls agree."""
+    for impl in ("builtin", "pandas"):
+        df = make_entries(spark, [""])
+        out = run1(df, {"type": "key_value_parser", "impl": impl,
+                        "on_error": "drop"})
+        assert out.count() == 0, impl
+        df = make_entries(spark, [" "])
+        out = run1(df, {"type": "key_value_parser", "impl": impl,
+                        "on_error": "drop"})
+        assert out.count() == 1, impl
+
+
+def test_keyvalue_builtin_pandas_parity(spark):
+    cases = ['name="phil" age=22', "a=1 b=2", 'q="x y" t=\'u v\'',
+             "a=b=c", "", " ", "noeq", 'k= v=""']
+    df = make_entries(spark, cases)
+    got = {}
+    for impl in ("builtin", "pandas"):
+        out = run1(df, {"type": "key_value_parser", "impl": impl})
+        got[impl] = [r["attributes"] for r in collected(out, "attributes")]
+    assert got["builtin"] == got["pandas"]
+
+
 def test_csv_static_header_quotes_and_count(spark):
     """csv.go:132-199 — quoted field, wrong count is an error."""
     df = make_entries(spark, ['val1,val2,"quoted,val3"', "only,two"])

@@ -37,6 +37,25 @@ def test_shingles(spark, docs):
     ]
 
 
+def test_shingles_short_docs_yield_zero(spark):
+    """Docs with fewer than n words must produce zero shingles (and
+    not abort the job via sequence(1, negative)); minhash over a
+    corpus containing them still works."""
+    rows = [
+        (0, "one"),
+        (1, "two words"),
+        (2, ""),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingles(df).collect()
+    assert {r["doc_id"] for r in sh} == {3, 4}
+    out = dedup.minhash_near_dups(df)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert pairs == {(3, 4)}
+
+
 def test_minhash_finds_near_dup(spark, docs):
     out = dedup.minhash_near_dups(docs)
     pairs = {(r["doc_a"], r["doc_b"]): r for r in out.collect()}
