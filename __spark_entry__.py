@@ -104,6 +104,30 @@ FROM events
 _SYSLOG_SEV = "CASE (event_id % 192) % 8 WHEN 0 THEN 21 WHEN 1 THEN 19 WHEN 2 THEN 18 WHEN 3 THEN 17 WHEN 4 THEN 13 WHEN 5 THEN 10 WHEN 6 THEN 9 ELSE 5 END"
 _SYSLOG_SEV_TXT = "CASE (event_id % 192) % 8 WHEN 0 THEN 'emerg' WHEN 1 THEN 'alert' WHEN 2 THEN 'crit' WHEN 3 THEN 'err' WHEN 4 THEN 'warning' WHEN 5 THEN 'notice' WHEN 6 THEN 'info' ELSE 'debug' END"
 
+# dual-dialect RFC5424 line CTE over events: ISO8601 ts, NILVALUE
+# proc_id every 4th row, NILVALUE structured-data every 3rd row
+_ISO_TS = (
+    f"cast(year(ts) as {_V}) || '-' || lpad(cast(month(ts) as {_V}), 2, '0') "
+    f"|| '-' || lpad(cast(day(ts) as {_V}), 2, '0') || 'T' "
+    f"|| lpad(cast(hour(ts) as {_V}), 2, '0') || ':' "
+    f"|| lpad(cast(minute(ts) as {_V}), 2, '0') || ':' "
+    f"|| lpad(cast(second(ts) as {_V}), 2, '0') || 'Z'"
+)
+SYSLOG5424_SQL = f"""
+SELECT
+  event_id,
+  '<' || cast(event_id % 192 as {_V}) || '>1 ' || {_ISO_TS}
+  || ' host-' || cast(user_id % 20 as {_V})
+  || ' app' || cast(event_id % 7 as {_V})
+  || ' ' || case when event_id % 4 = 0 then '-'
+                 else cast(event_id % 1000 as {_V}) end
+  || ' msg' || cast(event_id % 50 as {_V})
+  || ' ' || case when event_id % 3 = 0 then '-'
+                 else '[ex@32473 id="' || cast(event_id % 10 as {_V}) || '"]' end
+  || ' task ' || cast(event_id as {_V}) || ' ok'                 AS line
+FROM events
+"""
+
 
 # --------------------------------------------------------------------
 # queries
@@ -259,6 +283,9 @@ def q_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     stage = build_stage({"type": "syslog_parser", "protocol": "rfc3164"})
     out = stage.apply(df)
+    # postprocess deletes the helper timestamp attribute and sets ts
+    # natively (syslog.go:259-269); RFC3164 has no year, so ts carries
+    # the inferred year vs the injected reference clock
     return out.select(
         F.col("turn_idx").cast("long").alias("event_id"),
         _attr("priority").alias("priority"),
@@ -269,6 +296,41 @@ def q_syslog_rfc3164(spark: SparkSession, sf_dir: str) -> DataFrame:
         _attr("message").alias("message"),
         F.col("severity").cast("int").alias("severity"),
         F.col("severity_text"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        _attr("timestamp").alias("ts_attr"),  # must be NULL post-delete
+    )
+
+
+def q_syslog_rfc5424(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """syslog_parser RFC5424: version/msg_id/structured-data fields,
+    NILVALUE omission, native ISO8601 timestamp -> ts
+    (operator/parser/syslog/syslog.go:159-272)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    lines = spark.sql(SYSLOG5424_SQL)
+    df = to_entries(
+        lines.select(
+            F.lit("syslog5424").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    out = build_stage({"type": "syslog_parser", "protocol": "rfc5424"}).apply(df)
+    return out.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        _attr("version").alias("version"),
+        _attr("hostname").alias("hostname"),
+        _attr("appname").alias("appname"),
+        _attr("proc_id").alias("proc_id"),
+        _attr("msg_id").alias("msg_id"),
+        _attr("structured_data").alias("structured_data"),
+        _attr("message").alias("message"),
+        F.col("severity").cast("int").alias("severity"),
+        F.col("severity_text"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        _attr("timestamp").alias("ts_attr"),  # must be NULL post-delete
     )
 
 
@@ -306,6 +368,160 @@ def q_trace_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.col("trace_id"))).alias("trace_hex"),
         F.lower(F.hex(F.col("span_id"))).alias("span_hex"),
     )
+
+
+def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """flatten: splice a nested body map's children into the parent
+    (operator/transformer/flatten/flatten.go:41-101)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        "SELECT event_id, "
+        "'{\"kind\":\"order\",\"detail\":{\"sku\":\"s-' || cast(event_id % 40 as varchar(30)) "
+        "|| '\",\"qty\":\"' || cast(event_id % 7 as varchar(30)) || '\"}}' AS line "
+        "FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("f").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage({"type": "json_parser", "parse_to": "body"}).apply(df)
+    df = build_stage({"type": "flatten", "field": "body.detail"}).apply(df)
+    b = F.col("body")
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.try_element_at(b, F.lit("kind")).alias("kind"),
+        F.try_element_at(b, F.lit("sku")).alias("sku"),
+        F.try_element_at(b, F.lit("qty")).alias("qty"),
+        F.size(b).cast("long").alias("n_body_keys"),
+    )
+
+
+def q_scope_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scope_name_parser: copy a string field to ScopeName
+    (operator/parser/scope/scope_name.go:29-67)."""
+    df = _entries(spark, sf_dir)
+    df = build_stage(
+        {"type": "scope_name_parser", "parse_from": "attributes.role"}
+    ).apply(df)
+    return df.select("conv_id", "turn_idx", "scope_name")
+
+
+def q_csv_headerattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """csv_parser with the header read from an attribute PER ENTRY
+    (operator/parser/csv/csv.go:106-121); the header attribute is
+    itself extracted by a regex_parser stage."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        "SELECT event_id, "
+        "case when event_id % 2 = 0 then 'id,uid,etype' else 'ident,usr,kind' end "
+        "|| ';' || cast(event_id as varchar(30)) || ',' "
+        "|| cast(user_id as varchar(30)) || ',' || event_type AS line "
+        "FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("h").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage(
+        {
+            "type": "regex_parser",
+            "regex": r"^(?P<columns>[^;]+);(?P<rest>.*)$",
+        }
+    ).apply(df)
+    df = build_stage(
+        {
+            "type": "csv_parser",
+            "parse_from": "attributes.rest",
+            "header_attribute": "columns",
+        }
+    ).apply(df)
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        _attr("id").alias("id"),
+        _attr("uid").alias("uid"),
+        _attr("etype").alias("etype"),
+        _attr("ident").alias("ident"),
+        _attr("usr").alias("usr"),
+        _attr("kind").alias("kind"),
+    )
+
+
+def q_time_epoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_parser epoch layouts ms and s.us with exact integer
+    split semantics (operator/helper/time.go:206-266)."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        # parquet ts is NTZ; session tz is UTC so the ltz cast is
+        # instant-preserving
+        "SELECT event_id, to_json(named_struct("
+        "  'ms', cast(unix_millis(cast(ts as timestamp_ltz)) as string),"
+        "  's_us', concat(cast(unix_seconds(cast(ts as timestamp_ltz)) as string), '.', "
+        "          lpad(cast(unix_micros(cast(ts as timestamp_ltz)) % 1000000 as string), 6, '0'))"
+        ")) AS line FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("e").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage({"type": "json_parser"}).apply(df)
+    df = build_stage(
+        {
+            "type": "time_parser",
+            "parse_from": "attributes.ms",
+            "layout_type": "epoch",
+            "layout": "ms",
+        }
+    ).apply(df)
+    df = df.withColumn("_ts_ms", F.col("ts"))
+    df = build_stage(
+        {
+            "type": "time_parser",
+            "parse_from": "attributes.s_us",
+            "layout_type": "epoch",
+            "layout": "s.us",
+        }
+    ).apply(df)
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.unix_micros(F.col("_ts_ms").cast("timestamp_ltz")).alias("ms_us"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("sus_us"),
+    )
+
+
+def q_recombine_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recombine with is_last_entry boundary, newest base entry and
+    max_batch_size sub-splitting (operator/transformer/recombine/
+    recombine.go:269-335)."""
+    df = _entries(spark, sf_dir)
+    stage = RecombineStage(
+        combine_field="body",
+        is_last_entry='attributes.role == "tool"',
+        source_identifier="resource.conv_id",
+        combine_with="\n",
+        overwrite_with="newest",
+        max_batch_size=3,
+        order_by=["turn_idx"],
+    )
+    out = stage.apply(df)
+    return out.select("conv_id", "turn_idx", "text")
 
 
 def q_transform_restructure(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,9 +621,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
-    verification (shingle->minhash->band->bucket-join)."""
+    verification (shingle->minhash->band->bucket-join). Pinned at the
+    oracle's small K=4/band=2 config; production default is 128/16
+    (dedup.MINHASH_SEEDS/BAND_SIZE)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    out = dedup.minhash_near_dups(docs)
+    out = dedup.minhash_near_dups(docs, seeds=4, band_size=2)
     return out.select(
         "doc_a",
         "doc_b",
@@ -562,13 +780,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_access": q_time_access,
         "uri_request": q_uri_request,
         "syslog_rfc3164": q_syslog_rfc3164,
+        "syslog_rfc5424": q_syslog_rfc5424,
         "trace_ids": q_trace_ids,
+        "flatten": q_flatten,
+        "scope_name": q_scope_name,
+        "csv_headerattr": q_csv_headerattr,
+        "time_epoch": q_time_epoch,
         "transform_restructure": q_transform_restructure,
         "filter_drop": q_filter_drop,
         "enrich_roles": q_enrich_roles,
         "router_counts": q_router_counts,
         "routed_rows": q_routed_rows,
         "recombine_conv": q_recombine_conv,
+        "recombine_newest": q_recombine_newest,
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -663,6 +887,17 @@ FROM (
   FROM transcripts WHERE regexp_matches(text, '^10\\.')
 )"""
 
+    # ts_us reproduces the missing-year inference (time.go:280-292):
+    # year := now.year (2024-06-01 reference clock), minus one year
+    # when the result lands >7 days in the future
+    _year_inferred = (
+        "make_timestamp(2024, month(ts), day(ts), hour(ts), minute(ts), "
+        "CAST(second(ts) AS DOUBLE))"
+    )
+    _ts_rule = (
+        f"CASE WHEN {_year_inferred} > TIMESTAMP '2024-06-08 00:00:00' "
+        f"THEN {_year_inferred} - INTERVAL 1 YEAR ELSE {_year_inferred} END"
+    )
     sqls["syslog_rfc3164"] = f"""WITH lines AS ({SYSLOG_SQL})
 SELECT event_id,
        CAST(event_id % 192 AS VARCHAR)            AS priority,
@@ -672,7 +907,27 @@ SELECT event_id,
        CAST(event_id % 1000 AS VARCHAR)           AS proc_id,
        'job ' || CAST(event_id AS VARCHAR) || ' done' AS message,
        CAST({_SYSLOG_SEV} AS INTEGER)             AS severity,
-       {_SYSLOG_SEV_TXT}                          AS severity_text
+       {_SYSLOG_SEV_TXT}                          AS severity_text,
+       epoch_us({_ts_rule})                       AS ts_us,
+       CAST(NULL AS VARCHAR)                      AS ts_attr
+FROM events"""
+
+    sqls["syslog_rfc5424"] = f"""
+SELECT event_id,
+       '1'                                        AS version,
+       'host-' || CAST(user_id % 20 AS VARCHAR)   AS hostname,
+       'app' || CAST(event_id % 7 AS VARCHAR)     AS appname,
+       CASE WHEN event_id % 4 = 0 THEN NULL
+            ELSE CAST(event_id % 1000 AS VARCHAR) END AS proc_id,
+       'msg' || CAST(event_id % 50 AS VARCHAR)    AS msg_id,
+       CASE WHEN event_id % 3 = 0 THEN NULL
+            ELSE '[ex@32473 id="' || CAST(event_id % 10 AS VARCHAR) || '"]'
+       END                                        AS structured_data,
+       'task ' || CAST(event_id AS VARCHAR) || ' ok' AS message,
+       CAST({_SYSLOG_SEV} AS INTEGER)             AS severity,
+       {_SYSLOG_SEV_TXT}                          AS severity_text,
+       epoch_us(date_trunc('second', ts))         AS ts_us,
+       CAST(NULL AS VARCHAR)                      AS ts_attr
 FROM events"""
 
     sqls["trace_ids"] = """
@@ -680,6 +935,52 @@ SELECT event_id,
        substr(md5(CAST(event_id AS VARCHAR)), 1, 32) AS trace_hex,
        substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_hex
 FROM events"""
+
+    sqls["flatten"] = """
+SELECT event_id,
+       'order'                                   AS kind,
+       's-' || CAST(event_id % 40 AS VARCHAR)    AS sku,
+       CAST(event_id % 7 AS VARCHAR)             AS qty,
+       CAST(3 AS BIGINT)                         AS n_body_keys
+FROM events"""
+
+    sqls["scope_name"] = (
+        f"{ORACLE_CTE} SELECT conv_id, turn_idx, role AS scope_name "
+        "FROM transcripts"
+    )
+
+    sqls["csv_headerattr"] = """
+SELECT event_id,
+  CASE WHEN event_id % 2 = 0 THEN CAST(event_id AS VARCHAR) END AS id,
+  CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR) END  AS uid,
+  CASE WHEN event_id % 2 = 0 THEN event_type END                AS etype,
+  CASE WHEN event_id % 2 = 1 THEN CAST(event_id AS VARCHAR) END AS ident,
+  CASE WHEN event_id % 2 = 1 THEN CAST(user_id AS VARCHAR) END  AS usr,
+  CASE WHEN event_id % 2 = 1 THEN event_type END                AS kind
+FROM events"""
+
+    sqls["time_epoch"] = """
+SELECT event_id,
+       epoch_us(ts) // 1000 * 1000 AS ms_us,
+       epoch_us(ts)                AS sus_us
+FROM events"""
+
+    sqls["recombine_newest"] = f"""{ORACLE_CTE}, marked AS (
+  SELECT conv_id, turn_idx, text,
+         CASE WHEN role = 'tool' THEN 1 ELSE 0 END AS m
+  FROM transcripts
+), grouped AS (
+  SELECT *, coalesce(sum(m) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS grp
+  FROM marked
+), pos AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, grp
+                               ORDER BY turn_idx) - 1 AS p
+  FROM grouped
+)
+SELECT conv_id, max(turn_idx) AS turn_idx,
+       string_agg(text, chr(10) ORDER BY turn_idx) AS text
+FROM pos GROUP BY conv_id, grp, p // 3"""
 
     sqls["transform_restructure"] = f"""{ORACLE_CTE}
 SELECT conv_id, turn_idx,

@@ -26,9 +26,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-MINHASH_SEEDS = 4  # K signature components
-BAND_SIZE = 2      # rows per LSH band -> K/BAND_SIZE bands
-SHINGLE = 3        # words per shingle
+# production defaults: 128 permutations in 16 bands of 8 rows — the
+# classic ~0.85-threshold near-dup operating point. The driver oracle
+# pins a small K=4/band=2 configuration (the SQL enumerates each hash
+# column); tests exercise both.
+MINHASH_SEEDS = 128  # K signature components
+BAND_SIZE = 8        # rows per LSH band -> K/BAND_SIZE bands
+SHINGLE = 3          # words per shingle
 
 _HEX = "0123456789abcdef"
 
@@ -173,10 +177,15 @@ def jaccard_verify(
     return out
 
 
-def minhash_near_dups(df: DataFrame, text_col: str = "text") -> DataFrame:
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    seeds: int = MINHASH_SEEDS,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
     """The full shingle->minhash->band->bucket-join->verify plan."""
-    sig = minhash_signature(df, text_col)
-    pairs = lsh_candidate_pairs(sig)
+    sig = minhash_signature(df, text_col, seeds)
+    pairs = lsh_candidate_pairs(sig, seeds, band_size)
     return jaccard_verify(pairs, df, text_col)
 
 
@@ -191,49 +200,44 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     Per word w: h = md5(w); bit b of the 64-bit signature votes
     +1/-1 by bit b of h's first 16 nibbles; sign of the vote sum sets
     the bit. String output sidesteps 64-bit sign issues and is
-    engine-portable."""
+    engine-portable.
+
+    Scale shape: the 64 per-bit vote sums are 64 column aggregates in
+    ONE groupBy(doc_id) — the only exchange, shuffling (doc_id, 64
+    longs) with map-side partial aggregation. The bit extraction runs
+    as 64 plan-time-constant expressions over the per-token digest
+    (no tokens x 64 row explosion: the previous formulation shuffled
+    64x the token count into a groupBy(doc_id, bit))."""
     w = words_col(F.col(text_col))
-    tokens = df.select("doc_id", F.explode(w).alias("word"))
-    tokens = tokens.withColumn("h", F.md5(F.col("word")))
-    bits = tokens.select(
-        "doc_id",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("b"),
+    tokens = (
+        df.select("doc_id", F.explode(w).alias("word"))
+        .withColumn("h", F.md5(F.col("word")))
     )
-    bit = F.expr(
-        f"cast((instr('{_HEX}', substr(h, cast(b / 4 as int) + 1, 1)) - 1) / "
-        "(case cast(b % 4 as int) when 0 then 8 when 1 then 4 when 2 then 2 else 1 end) "
-        "as int) % 2"
+    # vote_b = bit b of the digest's nibble b//4, mapped 0/1 -> -1/+1;
+    # b is a plan-time constant so each vote is pure codegen arithmetic
+    votes = [
+        F.expr(
+            f"cast((instr('{_HEX}', substr(h, {b // 4 + 1}, 1)) - 1) "
+            f"div {[8, 4, 2, 1][b % 4]} as int) % 2 * 2 - 1"
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    sums = (
+        tokens.select("doc_id", *votes)
+        .groupBy("doc_id")
+        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
     )
-    votes = bits.select(
-        "doc_id", "b", (bit * 2 - 1).alias("vote")
-    ).groupBy("doc_id", "b").agg(F.sum("vote").alias("v"))
-    sig_bits = votes.select(
-        "doc_id",
-        "b",
-        F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0)).alias("bit"),
-    )
-    nibs = (
-        sig_bits.withColumn("nib", F.floor(F.col("b") / 4))
-        .withColumn(
-            "weight",
-            F.expr("case cast(b % 4 as int) when 0 then 8 when 1 then 4 when 2 then 2 else 1 end"),
+    bits = [
+        F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        for b in range(64)
+    ]
+    hex_arr = F.array(*[F.lit(c) for c in _HEX])
+    nib_chars = [
+        F.element_at(
+            hex_arr,
+            bits[4 * nb] * 8 + bits[4 * nb + 1] * 4
+            + bits[4 * nb + 2] * 2 + bits[4 * nb + 3] + 1,
         )
-        .groupBy("doc_id", "nib")
-        .agg(F.sum(F.col("bit") * F.col("weight")).alias("nibval"))
-        .withColumn("ch", F.expr(f"substr('{_HEX}', cast(nibval as int) + 1, 1)"))
-    )
-    return (
-        nibs.groupBy("doc_id")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("nib"), F.col("ch")))
-                    ),
-                    lambda s: s.getField("ch"),
-                ),
-                "",
-            ).alias("simhash")
-        )
-    )
+        for nb in range(16)
+    ]
+    return sums.select("doc_id", F.concat(*nib_chars).alias("simhash"))

@@ -98,11 +98,22 @@ class ParserStage(ColumnStage):
             df, sub_err = sub.embed_apply(df, cond)
             if sub_err is not None:
                 err = err | F.coalesce(sub_err, F.lit(False))
+        # per-operator postprocess (ProcessWithCallback's callback) runs
+        # after all sub-parsers, gated on main-parse success, while
+        # _parsed is still in scope
+        df, err = self.postprocess(
+            df, cond & F.col("_parsed").isNotNull(), err
+        )
         # errors checked only after all sub-parsers ran (parser.go:171-184);
         # the drop filter runs here while _parsed is still in scope
         if self.on_error == "drop":
             df = df.filter(~(cond & F.coalesce(err, F.lit(False))))
         return df.drop("_parsed"), None
+
+    def postprocess(self, df: DataFrame, ok: Column, err: Column):
+        """Hook for operators with a postprocess callback (syslog).
+        ``ok`` = stage cond AND the main parse succeeded."""
+        return df, err
 
 
 # --------------------------------------------------------------------
@@ -459,11 +470,40 @@ _SYSLOG_SEVERITY_TEXT = [
 
 @register("syslog_parser")
 class SyslogParserStage(ParserStage):
-    def __init__(self, protocol: str = "rfc3164", **kw):
+    """RFC3164/5424 parse + the reference's postprocess: the parsed
+    timestamp becomes the entry ``ts`` via a default embedded
+    TimeParser on ``attributes.timestamp`` (syslog.go:61-66) and the
+    helper attributes (severity, timestamp) are deleted afterwards
+    (syslog.go:252-269). RFC3164 timestamps carry no year, so the
+    default TimeParser runs missing-year inference against the
+    injected reference clock ``now``."""
+
+    def __init__(self, protocol: str = "rfc3164", now: str | None = None, **kw):
+        from .time_parser import DEFAULT_NOW, TimeParser
+
+        has_user_ts = kw.get("timestamp") is not None
         super().__init__(**kw)
         if protocol not in ("rfc3164", "rfc5424"):
             raise ValueError(f"unsupported protocol {protocol!r}")
         self.protocol = protocol
+        if not has_user_ts:
+            # default wiring: parse attributes.timestamp into ts
+            # (syslog.go:61-66 builds a native TimeParser when the
+            # config carries none)
+            if protocol == "rfc3164":
+                # "Jan 2 15:04:05" — no year; strptime + inference.
+                # The UDF below normalizes the space-padded day, so
+                # %e ("d") matches single- and double-digit days.
+                tp = TimeParser(
+                    "attributes.timestamp",
+                    layout="%b %e %H:%M:%S",
+                    layout_type="strptime",
+                    now=now or DEFAULT_NOW,
+                )
+            else:
+                # RFC5424 ts is ISO8601 — native cast handles it
+                tp = TimeParser("attributes.timestamp", layout_type="native")
+            self.subparsers.append(tp)
 
     def parse(self, src: Column) -> Column:
         proto = self.protocol
@@ -484,8 +524,13 @@ class SyslogParserStage(ParserStage):
                     "severity": str(pri % 8),
                     "hostname": m.group("hostname"),
                     "message": m.group("message") or "",
-                    "timestamp": m.group("ts"),
+                    # normalize the RFC3164 space-padded day ("Jan  2")
+                    # so the default TimeParser's "MMM d" layout parses
+                    # it; the attribute is deleted at postprocess anyway
+                    "timestamp": " ".join(m.group("ts").split()),
                 }
+                if proto == "rfc5424" and m.group("ts") == "-":
+                    del out["timestamp"]  # NILVALUE ts -> absent (toSafeMap)
                 if proto == "rfc5424":
                     out["version"] = m.group("version")
                     for k in ("appname", "proc_id", "msg_id"):
@@ -508,10 +553,11 @@ class SyslogParserStage(ParserStage):
 
         return parse_syslog(src)
 
-    def transform(self, df: DataFrame, cond: Column):
-        df, err = super().transform(df, cond)
-        # postprocess: attributes.severity (0-7) -> entry severity via
-        # the fixed table, then drop the helper keys (syslog.go:252-272)
+    def postprocess(self, df: DataFrame, ok: Column, err: Column):
+        # postprocess (syslog.go:252-269): attributes.severity (0-7)
+        # -> entry severity via the fixed table, then delete the
+        # helper attributes (severity AND timestamp); runs only when
+        # the main parse succeeded, like ProcessWithCallback
         attrs = F.col("attributes")
         sev_raw = F.try_element_at(attrs, F.lit("severity")).try_cast(T.IntegerType())
         sev_map = F.create_map(
@@ -528,15 +574,15 @@ class SyslogParserStage(ParserStage):
                 for c in (F.lit(str(i)), F.lit(_SYSLOG_SEVERITY_TEXT[i]))
             ]
         )
-        ok = cond & sev_raw.isNotNull()
+        ok_sev = ok & sev_raw.isNotNull()
         df = df.withColumn(
             "severity",
-            F.when(ok, F.try_element_at(sev_map, sev_raw.cast(T.StringType())))
+            F.when(ok_sev, F.try_element_at(sev_map, sev_raw.cast(T.StringType())))
             .otherwise(F.col("severity")),
         )
         df = df.withColumn(
             "severity_text",
-            F.when(ok, F.try_element_at(text_map, sev_raw.cast(T.StringType())))
+            F.when(ok_sev, F.try_element_at(text_map, sev_raw.cast(T.StringType())))
             .otherwise(F.col("severity_text")),
         )
         df = df.withColumn(
@@ -544,8 +590,10 @@ class SyslogParserStage(ParserStage):
             F.when(
                 ok,
                 F.map_filter(
-                    attrs, lambda k, _v: k != F.lit("severity")
+                    F.col("attributes"),
+                    lambda k, _v: (k != F.lit("severity"))
+                    & (k != F.lit("timestamp")),
                 ),
-            ).otherwise(attrs),
+            ).otherwise(F.col("attributes")),
         )
         return df, err

@@ -107,18 +107,39 @@ class TimeParser:
             return src.try_cast(T.TimestampType())
         if lt == "epoch":
             lay = self.layout
-            if lay in ("s", "s.ms", "s.us", "s.ns"):
-                # fractional seconds accepted for the s.* family
-                d = src.try_cast(T.DoubleType())
-                return F.timestamp_micros(
-                    F.floor(d * F.lit(1_000_000)).cast(T.LongType())
+            if lay in ("s.ms", "s.us", "s.ns"):
+                # exact integer split semantics (time.go:219-229):
+                # strings.Split on '.', ParseInt both sides — NEVER a
+                # float path (double loses microseconds above 2^53 ns)
+                parts = F.split(src, r"\.")
+                sec = F.try_element_at(parts, F.lit(1)).try_cast(T.LongType())
+                sub = F.try_element_at(parts, F.lit(2)).try_cast(T.LongType())
+                to_us = {"s.ms": 1000, "s.us": 1, "s.ns": None}[lay]
+                if to_us is None:
+                    # ns -> us via exact decimal integer division
+                    sub_us = F.floor(
+                        sub.cast(T.DecimalType(30, 0)) / F.lit(1000)
+                    ).cast(T.LongType())
+                else:
+                    sub_us = sub * F.lit(to_us)
+                ok = (F.size(parts) == 2) & sec.isNotNull() & sub.isNotNull()
+                return F.when(
+                    ok, F.timestamp_micros(sec * F.lit(1_000_000) + sub_us)
                 )
-            n = src.try_cast(T.LongType())
+            n = src.try_cast(T.LongType())  # ParseInt: fractions invalid
+            if lay == "s":
+                return F.timestamp_seconds(n)
             if lay == "ms":
                 return F.timestamp_millis(n)
             if lay == "us":
                 return F.timestamp_micros(n)
-            return F.timestamp_micros(F.floor(n / F.lit(1000)).cast(T.LongType()))
+            # ns: exact integer division (a double round-trip loses
+            # precision above 2^53 ns ~ 104 days)
+            return F.timestamp_micros(
+                F.floor(n.cast(T.DecimalType(30, 0)) / F.lit(1000)).cast(
+                    T.LongType()
+                )
+            )
         ts = F.try_to_timestamp(src, F.lit(self.java_layout))
         if self.has_year:
             return ts

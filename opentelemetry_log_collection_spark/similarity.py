@@ -133,13 +133,27 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates, exact re-rank.
+    """Approximate top-k: bucket-join candidates on IDS ONLY, then
+    exact re-rank after re-attaching vectors.
 
-    Scale shape: corpus is hashed once per table (projection only),
-    the join shuffles (bucket, id) pairs, and the exact cosine runs on
-    candidates only. Missing neighbors (hash misses) are the accepted
-    approximation."""
+    Scale shape (the parts that survive 100 TB):
+      - the per-table bucket join and the cross-table dedup shuffle
+        only (bucket, id) / (query_id, neighbor_id) pairs — embedding
+        vectors NEVER ride a shuffle until candidates are final;
+      - corpus vectors move exactly once, in the final re-attach join
+        keyed on neighbor_id (proportional to candidate count, not
+        n_tables x candidates);
+      - ``max_bucket_size`` drops corpus-side mega-buckets (hash
+        regions so dense they would go quadratic); skipping them costs
+        recall on degenerate near-constant regions only — the standard
+        LSH guardrail. Size ``n_planes`` ~ log2(corpus/target_bucket)
+        so expected bucket size stays bounded.
+
+    Missing neighbors (hash misses) are the accepted approximation;
+    recall is tunable via n_planes/n_tables (measured in
+    tests/test_training_ops.py::test_lsh_recall_vs_brute_force)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
     )
@@ -149,15 +163,34 @@ def lsh_topk(
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
-        qb = q.withColumn("bucket", bucket_col(F.col("qv"), planes))
-        cb = c.withColumn("bucket", bucket_col(F.col("cv"), planes))
-        pairs = qb.join(cb, "bucket").select("query_id", "qv", "neighbor_id", "cv")
+        qb = q.select(
+            "query_id", bucket_col(F.col("qv"), planes).alias("bucket")
+        )
+        cb = c.select(
+            "neighbor_id", bucket_col(F.col("cv"), planes).alias("bucket")
+        )
+        if max_bucket_size is not None:
+            sizes = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+            cb = cb.join(
+                sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+                "bucket",
+            )
+        # queries are the small side — broadcast them into the bucket
+        # probe so the corpus side never shuffles here
+        pairs = cb.join(F.broadcast(qb), "bucket").select(
+            "query_id", "neighbor_id"
+        )
         cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"]).filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("sim")
+    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    # re-attach vectors AFTER dedup: corpus shuffles once by id
+    scored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -180,24 +213,31 @@ def embedding_near_dups(
     seed: int = 7,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates +
-    exact threshold: (doc_a, doc_b, sim) with doc_a < doc_b."""
+    exact threshold: (doc_a, doc_b, sim) with doc_a < doc_b.
+
+    Same shuffle discipline as lsh_topk: the per-table self-join and
+    the cross-table dedup carry (bucket, id) / (doc_a, doc_b) pairs
+    only; vectors re-attach once per side after the dedup."""
     v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv"))
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
-        b = v.withColumn("bucket", bucket_col(F.col("vv"), planes))
-        left = b.select(
-            F.col("vid").alias("doc_a"), F.col("vv").alias("va"), "bucket"
+        b = v.select("vid", bucket_col(F.col("vv"), planes).alias("bucket"))
+        left = b.select(F.col("vid").alias("doc_a"), "bucket")
+        right = b.select(F.col("vid").alias("doc_b"), "bucket")
+        pairs = (
+            left.join(right, "bucket")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
         )
-        right = b.select(
-            F.col("vid").alias("doc_b"), F.col("vv").alias("vb"), "bucket"
-        )
-        pairs = left.join(right, "bucket").filter(F.col("doc_a") < F.col("doc_b"))
-        pairs = pairs.select("doc_a", "va", "doc_b", "vb")
         cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["doc_a", "doc_b"])
+    cand = cand.distinct()
+    va = v.select(F.col("vid").alias("doc_a"), F.col("vv").alias("va"))
+    vb = v.select(F.col("vid").alias("doc_b"), F.col("vv").alias("vb"))
     return (
-        cand.select(
+        cand.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
             "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("sim")
         )
         .filter(F.col("sim") >= threshold)

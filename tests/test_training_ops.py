@@ -149,6 +149,38 @@ def test_lsh_topk_ranks_are_true_cosine_order(spark, vectors):
         assert rows[0][1] == 1  # vec 1 is in every bucket vec 0 is in
 
 
+def test_lsh_recall_vs_brute_force(spark):
+    """Measured recall@k of the LSH path against the exact baseline on
+    the real embeddings table — the quality gate for the approximate
+    plan (and a regression guard on the candidate-dedup rewrite)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 8)
+    k = 5
+    exact = similarity.brute_force_topk(q, emb, k=k)
+    approx = similarity.lsh_topk(q, emb, k=k, dim=64, n_planes=4, n_tables=8)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.5, f"recall@{k} = {recall:.2f}"
+
+
+def test_lsh_max_bucket_size_guard(spark, vectors):
+    """Corpus-side mega-buckets are dropped from candidate generation;
+    with a bound of 0 every bucket is dropped and no candidates form."""
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = similarity.lsh_topk(
+        q, vectors, k=3, dim=4, n_planes=1, n_tables=1, max_bucket_size=0
+    )
+    assert out.count() == 0
+
+
+def test_minhash_production_defaults(spark, docs):
+    """The 128-perm/16-band default finds the exact-dup pair too."""
+    out = dedup.minhash_near_dups(docs)
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert (0, 3) in pairs
+
+
 def test_embedding_near_dups(spark, vectors):
     out = similarity.embedding_near_dups(
         vectors, threshold=0.99, dim=4, n_planes=1, n_tables=2
