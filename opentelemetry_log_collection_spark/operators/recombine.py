@@ -25,11 +25,18 @@ recombine.go:152-176,260-267) exist because the agent cannot see the
 future; a batch engine doesn't need them. Their streaming analogue is
 a watermark + applyInPandasWithState timeout (see streaming/).
 
-Shuffle budget: 2 exchanges (window sort by source, then group hash).
-Upstream repartition(hash(conv_id)) makes the first exchange the only
-data movement for the usual source=conv_id case at scale; skewed
-conversations are bounded by max_batch_size sub-splitting, which caps
-any single group at max_batch_size rows.
+Shuffle budget: 2 exchanges for sourced rows (window sort by source,
+then group hash). Upstream repartition(hash(conv_id)) makes the first
+exchange the only data movement for the usual source=conv_id case at
+scale; skewed conversations are bounded by max_batch_size
+sub-splitting, which caps any single group at max_batch_size rows.
+
+Rows with NO source identifier share one default bucket
+(recombine.go:212-221) — a constant window key that would otherwise
+serialize the whole subset through one task. Those rows take a
+dedicated two-phase prefix-sum path (_tag_default_bucket): range
+partition by the order key, local window per slice, tiny cumulated
+per-slice offsets broadcast back. Every stage of it is parallel.
 """
 
 from __future__ import annotations
@@ -82,18 +89,17 @@ class RecombineStage(Stage):
             return ["ts", "turn_idx"] if "ts" in df.columns else ["turn_idx"]
         return ["ts"]
 
-    def apply(self, df: DataFrame) -> DataFrame:
-        order = self._order_cols(df)
-        # missing source -> shared default bucket (recombine.go:212-221)
-        src = F.coalesce(
-            self.source_identifier.get().cast(T.StringType()),
-            F.lit("DefaultSourceIdentifier"),
-        )
-        matched = F.coalesce(
-            compile_bool(self.is_first or self.is_last), F.lit(False)
-        )
-        df = df.withColumn("_src", src).withColumn("_match", matched)
+    # -- group tagging -------------------------------------------------
+    #
+    # Both taggers produce the same four helper columns on top of the
+    # entry columns: _src (bucket key), _grp (boundary-group id), _sub
+    # (pre-first-boundary singleton id in is_first mode), _batch
+    # (max_batch_size sub-split).
 
+    def _tag_windowed(self, df: DataFrame, order: list[str]) -> DataFrame:
+        """Per-source window tagging — the normal path where _src has
+        real cardinality (conv_id, file.path) so the window
+        parallelizes across sources."""
         w = Window.partitionBy("_src").orderBy(*[F.col(c) for c in order])
         if self.is_first is not None:
             grp = F.sum(F.col("_match").cast(T.IntegerType())).over(
@@ -107,15 +113,18 @@ class RecombineStage(Stage):
                 ),
                 F.lit(0),
             )
-        df = df.withColumn("_grp", grp)
+        df = df.withColumn("_grp", grp.cast(T.LongType()))
         if self.is_first is not None:
             # rows before any first-boundary flush alone (recombine.go:236-242)
             rn = F.row_number().over(w)
             df = df.withColumn(
-                "_sub", F.when(F.col("_grp") == 0, rn).otherwise(F.lit(0))
+                "_sub",
+                F.when(F.col("_grp") == 0, rn).otherwise(F.lit(0)).cast(
+                    T.LongType()
+                ),
             )
         else:
-            df = df.withColumn("_sub", F.lit(0))
+            df = df.withColumn("_sub", F.lit(0).cast(T.LongType()))
         pos = (
             F.row_number().over(
                 Window.partitionBy("_src", "_grp", "_sub").orderBy(
@@ -124,13 +133,103 @@ class RecombineStage(Stage):
             )
             - 1
         )
-        df = df.withColumn(
-            "_batch", F.floor(pos / F.lit(self.max_batch_size))
-        )
+        return df.withColumn("_batch", F.floor(pos / F.lit(self.max_batch_size)))
 
-        entry_cols = [
-            c for c in df.columns if c not in ("_src", "_match", "_grp", "_sub", "_batch")
-        ]
+    def _tag_default_bucket(self, df: DataFrame, order: list[str]) -> DataFrame:
+        """Distributed tagging for rows with NO source identifier —
+        they all share one default bucket (recombine.go:212-221), so
+        ``Window.partitionBy(_src)`` would drag the whole subset
+        through ONE task. Instead: a classic two-phase prefix sum.
+
+          1. range-partition by the order key; spark_partition_id is
+             then monotonic in the global order, so each partition is
+             a contiguous slice;
+          2. per-slice window computes LOCAL running match-counts and
+             row numbers (parallel, bounded by slice size);
+          3. a tiny per-slice totals frame (one row per partition) is
+             cumulated and broadcast back: global = local + offset.
+
+        Group-relative positions (for max_batch_size splitting) come
+        from joining the per-group min row-number back — AQE turns
+        that into a broadcast when groups are few (the skewed case)
+        and an even hash join when they are many (the already-uniform
+        case), so no single task ever owns the whole bucket."""
+        ordc = [F.col(c) for c in order]
+        d = df.repartitionByRange(*ordc).withColumn(
+            "_bkt", F.spark_partition_id()
+        )
+        wloc = Window.partitionBy("_bkt").orderBy(*ordc)
+        m = F.col("_match").cast(T.IntegerType())
+        if self.is_first is not None:
+            lcum = F.sum(m).over(
+                wloc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+        else:
+            lcum = F.coalesce(
+                F.sum(m).over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        d = d.withColumn("_lcum", lcum).withColumn(
+            "_lrn", F.row_number().over(wloc)
+        )
+        totals = d.groupBy("_bkt").agg(
+            F.sum(m).alias("_m"), F.count(F.lit(1)).alias("_n")
+        )
+        # P rows (one per partition): the single-task window here is fine
+        wtot = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = totals.select(
+            "_bkt",
+            F.coalesce(F.sum("_m").over(wtot), F.lit(0)).alias("_moff"),
+            F.coalesce(F.sum("_n").over(wtot), F.lit(0)).alias("_noff"),
+        )
+        d = d.join(F.broadcast(offsets), "_bkt")
+        d = d.withColumn(
+            "_grp", (F.col("_lcum") + F.col("_moff")).cast(T.LongType())
+        ).withColumn("_rn", F.col("_lrn") + F.col("_noff"))
+        if self.is_first is not None:
+            d = d.withColumn(
+                "_sub",
+                F.when(F.col("_grp") == 0, F.col("_rn"))
+                .otherwise(F.lit(0))
+                .cast(T.LongType()),
+            )
+        else:
+            d = d.withColumn("_sub", F.lit(0).cast(T.LongType()))
+        starts = d.groupBy("_grp", "_sub").agg(F.min("_rn").alias("_start"))
+        d = d.join(starts, ["_grp", "_sub"])
+        d = d.withColumn(
+            "_batch",
+            F.floor((F.col("_rn") - F.col("_start")) / F.lit(self.max_batch_size)),
+        )
+        return d.drop("_bkt", "_lcum", "_lrn", "_moff", "_noff", "_rn", "_start")
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        order = self._order_cols(df)
+        src_raw = self.source_identifier.get().cast(T.StringType())
+        matched = F.coalesce(
+            compile_bool(self.is_first or self.is_last), F.lit(False)
+        )
+        df = df.withColumn("_srcraw", src_raw).withColumn("_match", matched)
+        entry_cols = [c for c in df.columns if c not in ("_srcraw", "_match")]
+
+        # missing source -> shared default bucket (recombine.go:212-221),
+        # tagged by the skew-proof prefix-sum path; real sources keep
+        # the per-source window
+        helper = ["_src", "_grp", "_sub", "_batch"]
+        sourced = self._tag_windowed(
+            df.filter(F.col("_srcraw").isNotNull()).withColumn(
+                "_src", F.col("_srcraw")
+            ),
+            order,
+        ).select(*entry_cols, *helper)
+        defaulted = self._tag_default_bucket(
+            df.filter(F.col("_srcraw").isNull()).withColumn(
+                "_src", F.lit("DefaultSourceIdentifier")
+            ),
+            order,
+        ).select(*entry_cols, *helper)
+        tagged = sourced.unionByName(defaulted)
+
         ord_struct = F.struct(*[F.col(c) for c in order])
         row_struct = F.struct(*[F.col(c) for c in entry_cols])
         val = self.combine_field.get().cast(T.StringType())
@@ -148,7 +247,7 @@ class RecombineStage(Stage):
         )
 
         agg = (
-            df.groupBy("_src", "_grp", "_sub", "_batch")
+            tagged.groupBy("_src", "_grp", "_sub", "_batch")
             .agg(base_agg.alias("_base"), combined.alias("_combined"))
         )
         out = agg.select(
