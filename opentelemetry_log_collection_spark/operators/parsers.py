@@ -123,7 +123,26 @@ class ParserStage(ColumnStage):
 
 @register("regex_parser")
 class RegexParserStage(ParserStage):
-    def __init__(self, regex: str, impl: str = "builtin", **kw):
+    """Three execution strategies, all semantically identical:
+
+      - ``onepass`` (default for ^-anchored patterns): ONE JVM regex
+        execution per row via ``regexp_replace`` rewriting the line to
+        its \\x01-joined capture groups (plus the rlike match guard =
+        2 passes total, vs G+1). Measured on the 8-group Tomcat
+        pattern at 32 cores / 2M rows: 0.78s vs builtin 0.98s median
+        end-to-end incl. scan — ~2x on the parse fraction, and the gap
+        widens with group count (BENCH.md).
+      - ``builtin``: rlike + one ``regexp_extract`` per group (G+1
+        regex executions — Catalyst does not CSE the matcher). Used
+        automatically for unanchored patterns, where the replace trick
+        would fire on every match occurrence.
+      - ``pandas``: one-pass Arrow-vectorized ``Series.str.extract``.
+        Slower end-to-end at high core counts (python workers
+        oversubscribe the box) but kept for byte-level parity checks.
+
+    ``impl='auto'`` picks onepass when eligible, else builtin."""
+
+    def __init__(self, regex: str, impl: str = "auto", **kw):
         super().__init__(**kw)
         compiled = _re.compile(regex)
         if not compiled.groupindex:
@@ -134,9 +153,70 @@ class RegexParserStage(ParserStage):
         # Java forbids '_' in group names; extraction is by index, so
         # the Java-side pattern drops the names entirely
         self.pattern_java = _re.sub(r"\(\?P<[^>]+>", "(", regex)
+        if impl == "auto":
+            # the replace trick needs the match pinned to the line
+            # start, else regexp_replace rewrites EVERY occurrence
+            impl = "onepass" if self._fully_anchored(regex) else "builtin"
         self.impl = impl
 
+    @staticmethod
+    def _fully_anchored(regex: str) -> bool:
+        """^-anchored with no top-level alternation (in '^a|b' the
+        anchor binds only the first branch)."""
+        if not regex.startswith("^"):
+            return False
+        depth = 0
+        in_class = False
+        i = 0
+        while i < len(regex):
+            c = regex[i]
+            if c == "\\":
+                i += 2
+                continue
+            if in_class:
+                if c == "]":
+                    in_class = False
+            elif c == "[":
+                in_class = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "|" and depth == 0:
+                return False
+            i += 1
+        return True
+
+    _SEP = "\x01"
+
+    def _onepass_map(self, src: Column) -> Column:
+        """One regex execution: rewrite the whole line to its
+        \\x01-joined groups, split, zip with names. The trailing
+        ``(?s:.*)$`` consumes the unmatched tail so nothing leaks into
+        the last group. Rows where a group VALUE contains \\x01 (split
+        count mismatch) fall back to per-group extraction — branch
+        evaluation is per-row, so the fallback costs nothing on the
+        happy path."""
+        g = len(self.groups)
+        repl = self._SEP.join(f"${idx}" for idx in self.groups.values())
+        blob = F.regexp_replace(
+            src, self.pattern_java + "(?s:.*)$", repl
+        )
+        parts = F.split(blob, self._SEP, -1)
+        names = F.array(*[F.lit(n) for n in self.groups])
+        fast = F.map_from_arrays(names, parts)
+        slow_entries: list[Column] = []
+        for name, idx in self.groups.items():
+            slow_entries.append(F.lit(name))
+            slow_entries.append(F.regexp_extract(src, self.pattern_java, idx))
+        return F.when(F.size(parts) == g, fast).otherwise(
+            F.create_map(*slow_entries)
+        )
+
     def parse(self, src: Column) -> Column:
+        if self.impl == "onepass":
+            matched = src.rlike(self.pattern_java)
+            return F.when(matched, self._onepass_map(src))
         if self.impl == "pandas":
             pat = self.pattern_py
 

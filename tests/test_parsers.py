@@ -87,6 +87,40 @@ def test_json_embedded_subparsers(spark):
     assert row["ts"].year == 2020 and row["ts"].month == 1
 
 
+def test_regex_impl_parity(spark):
+    """builtin / onepass / pandas produce identical maps, including
+    non-participating optional groups ('' like Go) and values
+    containing the onepass separator (per-row fallback)."""
+    texts = [
+        "k1=a k2=b tail",
+        "k1=x tail",            # optional group absent
+        "k1=a\x01b k2=c rest",  # value contains the separator
+        "no match here",
+    ]
+    pat = r"^k1=(?P<one>\S+)(?: k2=(?P<two>\S+))? (?P<rest>.*)$"
+    df = make_entries(spark, texts)
+    got = {}
+    for impl in ("builtin", "onepass", "pandas"):
+        out = run1(df, {"type": "regex_parser", "regex": pat, "impl": impl})
+        got[impl] = [r["attributes"] for r in collected(out, "attributes")]
+    assert got["builtin"] == got["onepass"] == got["pandas"]
+    assert got["onepass"][0]["one"] == "a" and got["onepass"][0]["two"] == "b"
+    assert got["onepass"][1]["two"] == ""   # non-participating -> ""
+    assert got["onepass"][2]["one"] == "a\x01b"
+
+
+def test_regex_auto_impl_selection():
+    from opentelemetry_log_collection_spark.operators.parsers import (
+        RegexParserStage,
+    )
+
+    assert RegexParserStage(regex=r"^(?P<a>\d+)").impl == "onepass"
+    assert RegexParserStage(regex=r"(?P<a>\d+)").impl == "builtin"
+    # top-level alternation: ^ binds only the first branch
+    assert RegexParserStage(regex=r"^(?P<a>x)|y").impl == "builtin"
+    assert RegexParserStage(regex=r"^(?P<a>x|y)z").impl == "onepass"
+
+
 def test_keyvalue_quote_aware_default(spark):
     """keyvalue.go:104-139 — whitespace pairs, quote-aware."""
     df = make_entries(spark, ['name="phil" age=22'])
