@@ -58,6 +58,10 @@ def build_stage(cfg: dict[str, Any]) -> "Stage":
     type_name = cfg.pop("type", None)
     if type_name not in _REGISTRY:
         raise ValueError(f"unknown operator type {type_name!r}")
+    # reference YAML spells the predicate `if:` (docs/operators/*.md);
+    # `if` is a Python keyword so stages take it as if_expr
+    if "if" in cfg:
+        cfg["if_expr"] = cfg.pop("if")
     return _REGISTRY[type_name](**cfg)
 
 

@@ -1,0 +1,132 @@
+"""YAML config golden tests — the engine's analogue of the
+reference's operatortest.ConfigUnmarshalTest corpus
+(operator/helper/operatortest/operatortest.go:31-89): every fixture in
+tests/golden/ is adapted from a reference testdata YAML (cited in each
+file) and must (a) build into the expected compiled stage and (b) for
+pipeline fixtures, run end-to-end with the reference's semantics.
+"""
+
+from __future__ import annotations
+
+import pathlib
+
+import pytest
+import yaml
+
+from opentelemetry_log_collection_spark.operators.parsers import (
+    KeyValueParserStage,
+    RegexParserStage,
+)
+from opentelemetry_log_collection_spark.operators.recombine import RecombineStage
+from opentelemetry_log_collection_spark.operators.transforms import AddStage
+from opentelemetry_log_collection_spark.pipeline import Pipeline, build_stage
+
+from conftest import collected, make_entries
+
+GOLDEN = pathlib.Path(__file__).parent / "golden"
+
+
+def load(name: str):
+    return yaml.safe_load((GOLDEN / name).read_text())
+
+
+# ---- config-unmarshal goldens ---------------------------------------
+
+
+def test_golden_regex_default():
+    s = build_stage(load("regex.yaml"))
+    assert isinstance(s, RegexParserStage)
+    assert list(s.groups) == ["host", "type"]
+    assert str(s.parse_from) == "body" and str(s.parse_to) == "attributes"
+    assert s.on_error == "send"
+
+
+def test_golden_regex_severity():
+    s = build_stage(load("regex_severity.yaml"))
+    [sev] = s.subparsers
+    # 2xx/5xx compile to [lo,hi] range predicates at plan time (the
+    # engine's janino-friendly form of the reference's 100-key literal
+    # expansion, operator/helper/severity_builder.go:223-260)
+    assert (500, 599, 21) in sev.ranges  # fatal
+    assert (400, 499, 17) in sev.ranges  # error
+    assert (200, 299, 5) in sev.ranges   # debug
+    assert str(sev.parse_from) == "attributes.severity_field"
+
+
+def test_golden_regex_timestamp():
+    s = build_stage(load("regex_timestamp.yaml"))
+    [tp] = s.subparsers
+    assert tp.layout_type == "strptime"
+    assert tp.java_layout == "yyyy-MM-dd"
+
+
+def test_golden_regex_on_error_drop():
+    s = build_stage(load("regex_on_error_drop.yaml"))
+    assert s.on_error == "drop"
+
+
+def test_golden_kv():
+    s = build_stage(load("kv_delimiter.yaml"))
+    assert isinstance(s, KeyValueParserStage)
+    assert s.delimiter == ";" and s.pair_delimiter is None
+    s2 = build_stage(load("kv_pair_delimiter.yaml"))
+    assert s2.delimiter == "=" and s2.pair_delimiter == "|"
+
+
+def test_golden_add_expr():
+    s = build_stage(load("add_expr.yaml"))
+    assert isinstance(s, AddStage)
+    assert str(s.field) == "attributes.new"
+
+
+def test_golden_recombine_tab():
+    s = build_stage(load("recombine_tab.yaml"))
+    assert isinstance(s, RecombineStage)
+    assert s.combine_with == "\t"
+    assert s.overwrite_with == "oldest"  # default (recombine.go)
+
+
+def test_golden_unknown_type_rejected():
+    with pytest.raises(ValueError):
+        build_stage({"type": "no_such_operator"})
+
+
+# ---- pipeline behavior goldens --------------------------------------
+
+
+def test_golden_routes_multi_runs(spark):
+    p = Pipeline.from_yaml((GOLDEN / "routes_multi.yaml").read_text())
+    df = make_entries(
+        spark,
+        ['{"event":"x"}', "user=\"u1\" action=click", "plain line"],
+    )
+    results = p.run(df)
+    assert set(results) == {"json_sink", "kv_sink", "catchall_sink"}
+    [j] = collected(results["json_sink"], "attributes")
+    assert j["attributes"]["event"] == "x"
+    assert j["attributes"]["fmt"] == "json"  # route attribute stamping
+    [k] = collected(results["kv_sink"], "attributes")
+    assert k["attributes"]["action"] == "click"
+    assert "fmt" not in k["attributes"]
+    [c] = collected(results["catchall_sink"], "text")
+    assert c["text"] == "plain line"
+
+
+def test_golden_linear_if_runs(spark):
+    """Implicit linear wiring + reference `if:` spelling: the json
+    parse applies only to JSON rows, the add applies to all rows."""
+    p = Pipeline.from_yaml((GOLDEN / "linear_if.yaml").read_text())
+    df = make_entries(spark, ['{"a":"1"}', "not json"])
+    results = p.run(df)
+    [sink] = results.values()
+    rows = collected(sink, "attributes")
+    assert rows[0]["attributes"]["a"] == "1"
+    assert all(r["attributes"]["env"] == "prod" for r in rows)
+    assert "a" not in rows[1]["attributes"]
+
+
+def test_golden_recombine_tab_runs(spark):
+    p = Pipeline.from_configs([load("recombine_tab.yaml")])
+    df = make_entries(spark, [("a", "user"), ("b", "system")])
+    out = next(iter(p.run(df).values()))
+    assert [r["text"] for r in collected(out, "text")] == ["a\tb"]

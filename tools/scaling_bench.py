@@ -1,13 +1,17 @@
 """Scaling-evidence runner (BASELINE.md section 3 protocol).
 
 Runs the IDENTICAL flagship pipeline at two local parallelism levels
-(N and 4N cores) on the same stored input table and reports median
-wall-clock, turns/sec, and efficiency = tput(4N) / (4 * tput(N)).
+(N and 4N cores) on the same stored input table and reports median /
+min wall-clock, turns/sec, and efficiency = tput(4N) / (4 * tput(N)).
 
 Protocol details that make the comparison honest on a single box:
-  - fresh subprocess (fresh JVM) per level — no shared session state,
-    mirroring two spark-submit deployments;
-  - ONE untimed warm-up execution per JVM before the timed runs, so
+  - INTERLEAVED runs: the levels alternate (N, 4N, N, 4N, ...) so any
+    environment drift (thermal, page cache, background noise) hits
+    both levels symmetrically instead of biasing whichever level ran
+    last;
+  - fresh subprocess (fresh JVM) per run — no shared session state,
+    mirroring two spark-submit deployments of jobs/run_pipeline.py;
+  - ONE untimed warm-up execution per JVM before its timed run, so
     JIT/codegen compilation (which BASELINE.md's "exclude Spark
     session startup" is about) doesn't land inside a measurement;
   - the input is the sf0.1 table replicated INFLATE x with distinct
@@ -15,7 +19,11 @@ Protocol details that make the comparison honest on a single box:
     by both levels: per-core work must dominate fixed job overhead
     (~3s of planning/scheduling per run) or the ratio measures
     overhead, not the pipeline;
-  - >=3 timed runs per level, median reported.
+  - >=3 timed runs per level; median AND min reported (min is the
+    least-noise estimator on a shared box, median the conservative
+    one). Efficiency is reported for both.
+  - per-sink routed rows, bytes written and output partition stats
+    (BASELINE.md section 3 item 4) come from the written dataset.
 
 Usage: python tools/scaling_bench.py [sf_dir] [n_low] [n_high] [reps] [inflate]
 """
@@ -28,14 +36,14 @@ import subprocess
 import sys
 
 _CHILD = r"""
-import json, shutil, sys, tempfile, time
+import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 from opentelemetry_log_collection_spark.flagship import ROUTE_COL, route_name_col, tag_transcripts
 from opentelemetry_log_collection_spark.session import get_spark
 from opentelemetry_log_collection_spark.transcripts import inflated_transcripts
 
-sf_dir, cores, inflate, reps = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4])
+sf_dir, cores, inflate = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
 spark = get_spark(f"local[{cores}]", shuffle_partitions=cores,
                   app_name=f"scaling-{cores}")
 t = inflated_transcripts(spark, sf_dir, inflate)  # built once, shared
@@ -48,30 +56,32 @@ def pipeline(out):
     (tagged.drop(ROUTE_COL)
            .sortWithinPartitions("sink", "conv_id", "turn_idx")
            .write.mode("overwrite").partitionBy("sink").parquet(out))
-    rows = sum(r["cnt"] for r in
-               spark.read.parquet(out).groupBy("sink")
-                    .agg(F.count(F.lit(1)).alias("cnt")).collect())
-    return rows
+    counts = {r["sink"]: r["cnt"] for r in
+              spark.read.parquet(out).groupBy("sink")
+                   .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    return counts
 
 out = tempfile.mkdtemp(prefix="scale_sinks_")
 pipeline(out)  # untimed warm-up: JIT + codegen compile
-walls, rows = [], 0
-for _ in range(reps):
-    t0 = time.time()
-    rows = pipeline(out)
-    walls.append(time.time() - t0)
+t0 = time.time()
+counts = pipeline(out)
+wall = time.time() - t0
+n_bytes = sum(os.path.getsize(os.path.join(dp, f))
+              for dp, _, fs in os.walk(out) for f in fs)
+n_files = sum(len(fs) for _, _, fs in os.walk(out))
 shutil.rmtree(out, ignore_errors=True)
-print(json.dumps({"walls": walls, "rows": rows}))
+print(json.dumps({"wall": wall, "rows": sum(counts.values()),
+                  "counts": counts, "bytes": n_bytes, "files": n_files}))
 spark.stop()
 """
 
 
-def run_level(sf_dir: str, cores: int, inflate: int, reps: int) -> dict:
+def run_once(sf_dir: str, cores: int, inflate: int) -> dict:
     import os
 
     env = dict(os.environ, SPARK_DRIVER_MEM=os.environ.get("SPARK_DRIVER_MEM", "24g"))
     out = subprocess.run(
-        [sys.executable, "-c", _CHILD, sf_dir, str(cores), str(inflate), str(reps)],
+        [sys.executable, "-c", _CHILD, sf_dir, str(cores), str(inflate)],
         capture_output=True, text=True, cwd="/root/repo", env=env,
     )
     if out.returncode != 0:
@@ -87,19 +97,46 @@ def main() -> None:
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     inflate = int(sys.argv[5]) if len(sys.argv) > 5 else 100
 
-    report: dict = {"sf_dir": sf_dir, "inflate": inflate, "levels": {}}
+    walls: dict[int, list[float]] = {n_low: [], n_high: []}
+    last: dict[int, dict] = {}
+    # interleave: N, 4N, N, 4N, ... so drift hits both levels equally
+    for rep in range(reps):
+        for cores in (n_low, n_high):
+            r = run_once(sf_dir, cores, inflate)
+            walls[cores].append(r["wall"])
+            last[cores] = r
+            print(
+                f"  rep {rep + 1}/{reps} cores={cores:<3d} "
+                f"wall={r['wall']:.2f}s tput={r['rows'] / r['wall']:,.0f}/s",
+                file=sys.stderr,
+            )
+
+    report: dict = {"sf_dir": sf_dir, "inflate": inflate,
+                    "protocol": "interleaved, fresh JVM + warm-up per run",
+                    "levels": {}}
     for cores in (n_low, n_high):
-        r = run_level(sf_dir, cores, inflate, reps)
-        med = statistics.median(r["walls"])
+        ws = walls[cores]
+        med, mn = statistics.median(ws), min(ws)
+        rows = last[cores]["rows"]
         report["levels"][str(cores)] = {
-            "walls": [round(w, 2) for w in r["walls"]],
+            "walls": [round(w, 2) for w in ws],
             "median_wall": round(med, 2),
-            "rows": r["rows"],
-            "turns_per_sec": round(r["rows"] / med, 1),
+            "min_wall": round(mn, 2),
+            "rows": rows,
+            "turns_per_sec_median": round(rows / med, 1),
+            "turns_per_sec_min": round(rows / mn, 1),
+            "bytes_written": last[cores]["bytes"],
+            "files_written": last[cores]["files"],
+            "routed_counts": last[cores]["counts"],
         }
-    lo = report["levels"][str(n_low)]["turns_per_sec"]
-    hi = report["levels"][str(n_high)]["turns_per_sec"]
-    report["efficiency"] = round(hi / ((n_high / n_low) * lo), 3)
+    ratio = n_high / n_low
+    lo, hi = report["levels"][str(n_low)], report["levels"][str(n_high)]
+    report["efficiency_median"] = round(
+        hi["turns_per_sec_median"] / (ratio * lo["turns_per_sec_median"]), 3
+    )
+    report["efficiency_min"] = round(
+        hi["turns_per_sec_min"] / (ratio * lo["turns_per_sec_min"]), 3
+    )
     print(json.dumps(report, indent=2))
 
 
