@@ -351,13 +351,28 @@ class CsvParserStage(ParserStage):
                     return None
                 cols = [c.strip() for c in h.split(delim)]
                 try:
-                    row = next(_csv.reader(_io.StringIO(x), delimiter=delim))
-                except (StopIteration, _csv.Error):
+                    rows = [
+                        r
+                        for r in _csv.reader(_io.StringIO(x), delimiter=delim)
+                        if r
+                    ]
+                except _csv.Error:
                     return None
-                if len(row) != len(cols):
-                    # wrong field count is an error (csv.go:154-180)
+                if not rows:
                     return None
-                return dict(zip(cols, row))
+                # multi-line continuation (csv.go:154-180): each
+                # subsequent record continues the previous record's
+                # last field, joined with "\n" (the builtin from_csv
+                # path gets the same semantics natively — univocity
+                # keeps unquoted newlines inside the record)
+                joined = rows[0]
+                for nxt in rows[1:]:
+                    joined[-1] += "\n" + nxt[0]
+                    joined.extend(nxt[1:])
+                if len(joined) != len(cols):
+                    # wrong field count is an error (csv.go:189-192)
+                    return None
+                return dict(zip(cols, joined))
 
             return pd.Series(
                 [one(x, h) for x, h in zip(s, hdr)], index=s.index, dtype=object

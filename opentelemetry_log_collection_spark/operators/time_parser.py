@@ -81,23 +81,37 @@ class TimeParser:
         layout: str = "",
         layout_type: str = "strptime",
         now: str = DEFAULT_NOW,
+        location: str = "UTC",
     ):
         self.parse_from = Field.parse(parse_from)
         self.layout_type = layout_type
         self.layout = layout
         self.now = _dt.datetime.fromisoformat(now)
+        # location semantics (time.go:56-66,180): a layout WITHOUT a
+        # zone directive is interpreted in `location` (default UTC),
+        # i.e. ParseInLocation. Layouts that parse a zone/offset carry
+        # their own and ignore location.
+        self.location = location
         if layout_type == "strptime":
             self.java_layout = strptime_to_java(layout)
             self.has_year = any(t in layout for t in ("%Y", "%y", "%D", "%F"))
+            self.has_zone = any(
+                t in layout for t in ("%z", "%Z", "%i", "%j", "%k")
+            )
         elif layout_type == "gotime":
             self.java_layout = _gotime_to_java(layout)
             self.has_year = "2006" in layout or "06" in layout
+            self.has_zone = any(
+                t in layout for t in ("-07", "Z07", "MST", "-0700")
+            )
         elif layout_type == "epoch":
             if layout not in _EPOCH_LAYOUTS:
                 raise ValueError(f"invalid epoch layout {layout!r}")
             self.has_year = True
+            self.has_zone = True  # epoch is absolute
         elif layout_type == "native":
             self.has_year = True
+            self.has_zone = True  # native strings carry their own offset
         else:
             raise ValueError(f"unsupported layout_type {layout_type!r}")
 
@@ -141,16 +155,22 @@ class TimeParser:
                 )
             )
         ts = F.try_to_timestamp(src, F.lit(self.java_layout))
-        if self.has_year:
-            return ts
-        # year inference vs the injected reference clock
-        now_lit = F.lit(self.now.replace(tzinfo=None))
-        with_year = F.make_timestamp(
-            F.lit(self.now.year), F.month(ts), F.day(ts),
-            F.hour(ts), F.minute(ts), F.second(ts).cast(T.DoubleType()),
-        )
-        too_far = with_year > now_lit + F.expr("INTERVAL 7 DAYS")
-        return F.when(too_far, with_year - F.expr("INTERVAL 1 YEAR")).otherwise(with_year)
+        if not self.has_year:
+            # year inference vs the injected reference clock
+            now_lit = F.lit(self.now.replace(tzinfo=None))
+            with_year = F.make_timestamp(
+                F.lit(self.now.year), F.month(ts), F.day(ts),
+                F.hour(ts), F.minute(ts), F.second(ts).cast(T.DoubleType()),
+            )
+            too_far = with_year > now_lit + F.expr("INTERVAL 7 DAYS")
+            ts = F.when(too_far, with_year - F.expr("INTERVAL 1 YEAR")).otherwise(
+                with_year
+            )
+        if not self.has_zone and self.location != "UTC":
+            # ParseInLocation: the naive wall-clock reading (session tz
+            # is UTC) re-interpreted as `location` local time
+            ts = F.to_utc_timestamp(ts, self.location)
+        return ts
 
     def embed_apply(self, df: DataFrame, cond: Column) -> tuple[DataFrame, Column]:
         src = self.parse_from.get().cast(T.StringType())
@@ -187,10 +207,11 @@ class TimeParserStage(ColumnStage):
         layout: str = "",
         layout_type: str = "strptime",
         now: str = DEFAULT_NOW,
+        location: str = "UTC",
         **kw,
     ):
         super().__init__(**kw)
-        self.parser = TimeParser(parse_from, layout, layout_type, now)
+        self.parser = TimeParser(parse_from, layout, layout_type, now, location)
 
     def transform(self, df: DataFrame, cond: Column):
         return self.parser.embed_apply(df, cond)

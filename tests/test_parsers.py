@@ -182,6 +182,28 @@ def test_keyvalue_builtin_pandas_parity(spark):
     assert got["builtin"] == got["pandas"]
 
 
+def test_csv_multiline_continuation(spark):
+    """csv.go:154-180 — a value containing newlines parses as ONE
+    logical record: each subsequent line continues the previous line's
+    last field joined with \\n. Builtin and strict (pandas) agree."""
+    text = "aa,b\nb,cc,d\nd,ee"
+    df = make_entries(spark, [text])
+    expected = {"A": "aa", "B": "b\nb", "C": "cc", "D": "d\nd", "E": "ee"}
+    for strict in (False, True):
+        out = run1(df, {"type": "csv_parser", "header": "A,B,C,D,E",
+                        "strict": strict})
+        [row] = collected(out, "attributes")
+        got = {k: v for k, v in row["attributes"].items() if k in expected}
+        assert got == expected, strict
+    # quoted embedded newline also stays in-field on both paths
+    df2 = make_entries(spark, ['1,"x\ny",2'])
+    for strict in (False, True):
+        out = run1(df2, {"type": "csv_parser", "header": "a,b,c",
+                         "strict": strict})
+        [row] = collected(out, "attributes")
+        assert row["attributes"]["b"] == "x\ny", strict
+
+
 def test_csv_static_header_quotes_and_count(spark):
     """csv.go:132-199 — quoted field, wrong count is an error."""
     df = make_entries(spark, ['val1,val2,"quoted,val3"', "only,two"])

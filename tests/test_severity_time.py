@@ -101,9 +101,43 @@ def test_epoch_layouts(spark):
     assert ts_of(spark, epoch_s * 1000, layout="ms", layout_type="epoch") == base
     assert ts_of(spark, epoch_s * 1_000_000, layout="us", layout_type="epoch") == base
     assert ts_of(spark, epoch_s * 1_000_000_000, layout="ns", layout_type="epoch") == base
-    # fractional seconds for the s.* family
+    # s.* family: the subsecond part is a RAW INTEGER in the layout's
+    # unit, not a decimal fraction — strings.Split + ParseInt, so
+    # "X.25" with s.ms is 25 milliseconds (time.go:219-229:
+    # time.Unix(sec, subsec*subsecToNs))
     got = ts_of(spark, f"{epoch_s}.25", layout="s.ms", layout_type="epoch")
-    assert got == base + dt.timedelta(milliseconds=250)
+    assert got == base + dt.timedelta(milliseconds=25)
+    got = ts_of(spark, f"{epoch_s}.250307", layout="s.us", layout_type="epoch")
+    assert got == base + dt.timedelta(microseconds=250307)
+    got = ts_of(spark, f"{epoch_s}.250307999", layout="s.ns", layout_type="epoch")
+    assert got == base + dt.timedelta(microseconds=250307)  # ns truncate
+    # a fraction is invalid for the integer layouts (ParseInt fails)
+    df = make_entries(spark, [f"{epoch_s}.5"])
+    out = build_stage({"type": "time_parser", "parse_from": "body",
+                       "layout": "s", "layout_type": "epoch",
+                       "on_error": "drop"}).apply(df)
+    assert out.count() == 0
+
+
+def test_location_parse_in_zone(spark):
+    """time.go:56-66,180 (ParseInLocation): a zone-less layout is
+    interpreted in the configured location; layouts carrying an offset
+    ignore it."""
+    got = ts_of(spark, "2020-06-04 12:00:00",
+                layout="%Y-%m-%d %H:%M:%S", layout_type="strptime",
+                location="America/New_York")
+    # noon EDT (-4) == 16:00 UTC
+    assert got == dt.datetime(2020, 6, 4, 16, 0, 0)
+    # winter: EST (-5)
+    got = ts_of(spark, "2020-01-04 12:00:00",
+                layout="%Y-%m-%d %H:%M:%S", layout_type="strptime",
+                location="America/New_York")
+    assert got == dt.datetime(2020, 1, 4, 17, 0, 0)
+    # layout with an explicit offset: location must NOT double-shift
+    got = ts_of(spark, "2020-01-04 12:00:00 +0200",
+                layout="%Y-%m-%d %H:%M:%S %z", layout_type="strptime",
+                location="America/New_York")
+    assert got == dt.datetime(2020, 1, 4, 10, 0, 0)
 
 
 def test_missing_year_inference(spark):
