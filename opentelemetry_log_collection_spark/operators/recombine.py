@@ -89,6 +89,27 @@ class RecombineStage(Stage):
             return ["ts", "turn_idx"] if "ts" in df.columns else ["turn_idx"]
         return ["ts"]
 
+    def _batch_of(self, pos: Column) -> Column:
+        """max_batch_size sub-split from the 0-based position in the
+        group, matching the reference's flush machinery EXACTLY
+        (recombine.go:236-274):
+
+          - is_last mode: the cap flushes, rows keep accumulating, the
+            boundary closes the remainder -> repeating cap-sized
+            chunks = floor(pos / cap).
+          - is_first mode: after the cap flush empties the batch,
+            every following non-matching row hits the empty-batch rule
+            (recombine.go:238-240) and flushes ALONE -> one cap-sized
+            batch, then singletons."""
+        cap = self.max_batch_size
+        if self.is_first is not None:
+            return (
+                F.when(pos < cap, F.lit(0))
+                .otherwise(pos - F.lit(cap) + 1)
+                .cast(T.LongType())
+            )
+        return F.floor(pos / F.lit(cap))
+
     # -- group tagging -------------------------------------------------
     #
     # Both taggers produce the same four helper columns on top of the
@@ -133,7 +154,7 @@ class RecombineStage(Stage):
             )
             - 1
         )
-        return df.withColumn("_batch", F.floor(pos / F.lit(self.max_batch_size)))
+        return df.withColumn("_batch", self._batch_of(pos))
 
     def _tag_default_bucket(self, df: DataFrame, order: list[str]) -> DataFrame:
         """Distributed tagging for rows with NO source identifier —
@@ -197,10 +218,7 @@ class RecombineStage(Stage):
             d = d.withColumn("_sub", F.lit(0).cast(T.LongType()))
         starts = d.groupBy("_grp", "_sub").agg(F.min("_rn").alias("_start"))
         d = d.join(starts, ["_grp", "_sub"])
-        d = d.withColumn(
-            "_batch",
-            F.floor((F.col("_rn") - F.col("_start")) / F.lit(self.max_batch_size)),
-        )
+        d = d.withColumn("_batch", self._batch_of(F.col("_rn") - F.col("_start")))
         return d.drop("_bkt", "_lcum", "_lrn", "_moff", "_noff", "_rn", "_start")
 
     def apply(self, df: DataFrame) -> DataFrame:

@@ -93,11 +93,24 @@ def test_recombine_is_last_entry_closes_group(spark):
 
 
 def test_recombine_max_batch_size_splits(spark):
+    """is_first mode: the cap flush empties the batch, so every later
+    row in the group hits the empty-batch lone rule and flushes alone
+    (recombine.go:236-274: ONE cap-sized batch, then singletons)."""
     texts = [("s", "user")] + [(f"c{i}", "system") for i in range(5)]
     got = _stitch(
         spark, texts, is_first_entry='attributes.role == "user"', max_batch_size=3
     )
-    assert got == [(0, "s\nc0\nc1"), (3, "c2\nc3\nc4")]
+    assert got == [(0, "s\nc0\nc1"), (3, "c2"), (4, "c3"), (5, "c4")]
+
+
+def test_recombine_max_batch_size_is_last_repeats(spark):
+    """is_last mode has no lone rule: repeating cap-sized chunks, the
+    boundary closes the remainder."""
+    texts = [(f"l{i}", "system") for i in range(7)] + [("END", "user")]
+    got = _stitch(
+        spark, texts, is_last_entry='attributes.role == "user"', max_batch_size=3
+    )
+    assert got == [(0, "l0\nl1\nl2"), (3, "l3\nl4\nl5"), (6, "l6\nEND")]
 
 
 def test_recombine_overwrite_newest_base(spark):
