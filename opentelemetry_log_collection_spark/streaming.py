@@ -134,36 +134,67 @@ def streaming_recombine(
                     )
             return
 
-        idxs, texts = (list(state.get) if state.exists else ([], []))
-        idxs, texts = list(idxs), list(texts)
+        open_idxs, open_texts = (
+            (list(state.get[0]), list(state.get[1])) if state.exists else ([], [])
+        )
         out_rows: list[tuple] = []
 
-        def flush():
-            nonlocal idxs, texts
-            if texts:
-                out_rows.append(
-                    (conv_id, idxs[0], combine_with.join(texts), len(texts))
-                )
-            idxs, texts = [], []
+        def emit(seg_idxs: list, seg_texts: list) -> None:
+            out_rows.append(
+                (conv_id, seg_idxs[0], combine_with.join(seg_texts), len(seg_texts))
+            )
 
-        for pdf in pdfs:
-            pdf = pdf.sort_values("turn_idx")
-            for _, row in pdf.iterrows():
-                first = bool(row["_match"])
-                if first:
-                    flush()  # boundary closes the previous batch
-                elif not texts:
-                    # lone non-matching row with empty batch flushes
-                    # alone (recombine.go:236-242)
-                    out_rows.append((conv_id, int(row["turn_idx"]), row["text"], 1))
-                    continue
-                idxs.append(int(row["turn_idx"]))
-                texts.append(row["text"])
-                if len(texts) >= max_batch_size:
-                    flush()
+        # vectorized state machine: columns convert to lists once
+        # (C-level), boundaries come from one boolean scan, and all
+        # batch construction is O(groups) slicing — no per-row pandas
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = pd.concat(frames, ignore_index=True).sort_values("turn_idx")
+            m = pdf["_match"].to_numpy(dtype=bool)
+            idxs = [int(i) for i in pdf["turn_idx"].tolist()]
+            txts = pdf["text"].tolist()
+            n = len(idxs)
+            starts = [i for i in range(n) if m[i]]
+            bounds = starts + [n]
 
-        if texts:
-            state.update((idxs, texts))
+            # continuation rows before the first boundary extend the
+            # open batch up to the cap; once a cap flush empties the
+            # batch, every later row flushes alone (recombine.go:236-274)
+            g0_end = starts[0] if starts else n
+            if open_texts:
+                take = min(max_batch_size - len(open_texts), g0_end)
+                open_idxs += idxs[:take]
+                open_texts += txts[:take]
+                if len(open_texts) >= max_batch_size:
+                    emit(open_idxs, open_texts)
+                    open_idxs, open_texts = [], []
+                for i in range(take, g0_end):
+                    emit([idxs[i]], [txts[i]])
+            else:
+                for i in range(g0_end):
+                    emit([idxs[i]], [txts[i]])
+
+            for gi, s0 in enumerate(starts):
+                if open_texts:
+                    # the boundary closes whatever is still open
+                    emit(open_idxs, open_texts)
+                    open_idxs, open_texts = [], []
+                e0 = bounds[gi + 1]
+                size = e0 - s0
+                if size >= max_batch_size:
+                    emit(idxs[s0 : s0 + max_batch_size],
+                         txts[s0 : s0 + max_batch_size])
+                    for i in range(s0 + max_batch_size, e0):
+                        emit([idxs[i]], [txts[i]])
+                elif gi == len(starts) - 1:
+                    # trailing partial batch stays open in state
+                    open_idxs = idxs[s0:e0]
+                    open_texts = txts[s0:e0]
+                else:
+                    emit(idxs[s0:e0], txts[s0:e0])
+
+        if open_texts:
+            state.update((open_idxs, open_texts))
             state.setTimeoutDuration(flush_timeout_ms)
         elif state.exists:
             state.remove()
