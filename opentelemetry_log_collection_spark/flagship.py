@@ -172,6 +172,47 @@ def sink_counts(tagged: DataFrame) -> DataFrame:
     )
 
 
+def write_sinks(
+    spark: SparkSession,
+    tagged: DataFrame,
+    out_dir: str,
+    fmt: str = "parquet",
+    compression: str = "zstd",
+    coalesce_to: int | None = 0,
+) -> None:
+    """The multi-sink write: ONE partitionBy(sink) dataset write from
+    a frame already carrying the `sink` column.
+
+    Write-path tuning (measured at 10M rows, local[32], BENCH.md):
+      - deliberately NO repartition: the parse->route path is
+        stateless, so a pre-write shuffle of the wide entry rows
+        (3 map columns) costs more than it saves (measured 3x at 5M
+        rows); conversation co-location is recombine's job.
+      - ``coalesce(defaultParallelism)`` (coalesce_to=0 -> auto): the
+        scan is split fine-grained for compute balance, but carrying
+        those micro-partitions into the writer multiplies per-file
+        costs by sinks x tasks (262 tasks -> 2562 files; 20% slower).
+        Coalesce is shuffle-free, so the parse still runs in every
+        slot. At real scale, target file size instead.
+      - zstd over default snappy: 13% faster end-to-end here AND
+        smaller files (the write is encode-bound, not IO-bound).
+    """
+    df = tagged.drop(ROUTE_COL)
+    if coalesce_to == 0:
+        coalesce_to = spark.sparkContext.defaultParallelism
+    if coalesce_to:
+        df = df.coalesce(coalesce_to)
+    out = (
+        df.sortWithinPartitions("sink", "conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("sink")
+    )
+    if fmt == "json":
+        out.json(out_dir)  # NDJSON byte-parity mode; no codec games
+    else:
+        out.option("compression", compression).parquet(out_dir)
+
+
 def run_flagship(
     spark: SparkSession,
     sf_dir: str,
@@ -188,24 +229,9 @@ def run_flagship(
     sf0.1, and far worse at cluster scale where the cache spills."""
     tagged = tagged_frame(spark, sf_dir)
     if out_dir is not None:
-        # deliberately NO repartition here: the parse->route path is
-        # stateless, so a pre-write shuffle of the wide entry rows
-        # (3 map columns) costs more than it saves (measured 3x at
-        # 5M rows). Scan partitioning carries through to the write;
-        # conversation co-location is the checkpoint runner's and
-        # recombine's job, where the shuffle buys semantics.
         tagged = tagged.withColumn("sink", route_name_col()).persist()
         try:
-            out = (
-                tagged.drop(ROUTE_COL)
-                .sortWithinPartitions("sink", "conv_id", "turn_idx")
-                .write.mode("overwrite")
-                .partitionBy("sink")
-            )
-            if fmt == "json":
-                out.json(out_dir)
-            else:
-                out.parquet(out_dir)
+            write_sinks(spark, tagged, out_dir, fmt)
             # materialize the (tiny) counts BEFORE unpersist — the
             # returned frame must not lazily re-run the parse DAG
             rows = (

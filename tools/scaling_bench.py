@@ -39,7 +39,7 @@ _CHILD = r"""
 import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, ".")
 from pyspark.sql import functions as F
-from opentelemetry_log_collection_spark.flagship import ROUTE_COL, route_name_col, tag_transcripts
+from opentelemetry_log_collection_spark.flagship import route_name_col, tag_transcripts, write_sinks
 from opentelemetry_log_collection_spark.session import get_spark
 from opentelemetry_log_collection_spark.transcripts import inflated_transcripts
 
@@ -51,17 +51,17 @@ t = inflated_transcripts(spark, sf_dir, inflate)  # built once, shared
 def pipeline(out):
     # no persist: at 10M+ rows caching the full wide frame just to
     # count it costs more memory than it saves; counts come from the
-    # written dataset's footers (metadata-only scan)
+    # written dataset's footers (metadata-only scan). The write path
+    # is the engine's own write_sinks (coalesce-to-cores + zstd).
     tagged = tag_transcripts(spark, t).withColumn("sink", route_name_col())
-    (tagged.drop(ROUTE_COL)
-           .sortWithinPartitions("sink", "conv_id", "turn_idx")
-           .write.mode("overwrite").partitionBy("sink").parquet(out))
+    write_sinks(spark, tagged, out)
     counts = {r["sink"]: r["cnt"] for r in
               spark.read.parquet(out).groupBy("sink")
                    .agg(F.count(F.lit(1)).alias("cnt")).collect()}
     return counts
 
-out = tempfile.mkdtemp(prefix="scale_sinks_")
+base = os.environ.get("SPARK_GRAFT_BENCH_DIR") or None
+out = tempfile.mkdtemp(prefix="scale_sinks_", dir=base)
 pipeline(out)  # untimed warm-up: JIT + codegen compile
 t0 = time.time()
 counts = pipeline(out)
