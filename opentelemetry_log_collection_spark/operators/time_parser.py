@@ -183,17 +183,35 @@ class TimeParser:
 
 def _gotime_to_java(layout: str) -> str:
     """Best-effort Go reference-time layout -> Java pattern for the
-    common tokens (full gotime is exotic; strptime is the primary path)."""
+    common tokens (full gotime is exotic; strptime is the primary
+    path). ``.9``-family fractions are OPTIONAL in Go (trailing zeros
+    stripped) — they map to Spark's bracketed optional sections, so
+    the k8s layout ``2006-01-02T15:04:05.999999999Z`` parses inputs
+    with and without a fraction (operator/helper/time_test.go:278)."""
     subs = [
         ("2006", "yyyy"), ("01", "MM"), ("02", "dd"), ("15", "HH"),
-        ("04", "mm"), ("05", "ss"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+        ("04", "mm"), ("05", "ss"),
+        (".000000000", ".SSSSSSSSS"), (".000000", ".SSSSSS"), (".000", ".SSS"),
+        (".999999999", "[.SSSSSSSSS]"), (".999999", "[.SSSSSS]"),
+        (".999", "[.SSS]"),
         ("Jan", "MMM"), ("Monday", "EEEE"), ("Mon", "EEE"),
         ("-07:00", "XXX"), ("-0700", "Z"), ("Z07:00", "XXX"), ("MST", "zzz"),
         ("PM", "a"), ("06", "yy"), ("03", "hh"), ("3", "h"), ("2", "d"),
     ]
+    # two-phase: substitute go tokens to placeholders, quote leftover
+    # alphabetic literals (Java patterns reserve all letters — a bare
+    # 'T'/'Z' must become 'T'), then drop in the Java tokens
     out = layout
-    for go, java in subs:
-        out = out.replace(go, java)
+    repl: dict[str, str] = {}
+    for i, (go, java) in enumerate(subs):
+        # private-use-area placeholder: no digits (digit-containing go
+        # tokens would rewrite digit placeholders), not alphabetic
+        ph = chr(0xE000 + i)
+        out = out.replace(go, ph)
+        repl[ph] = java
+    out = "".join(f"'{c}'" if c.isalpha() else c for c in out)
+    for ph, java in repl.items():
+        out = out.replace(ph, java)
     return out
 
 

@@ -119,6 +119,25 @@ def test_epoch_layouts(spark):
     assert out.count() == 0
 
 
+def test_k8s_nanosecond_layouts(spark):
+    """The reference's k8s fixture (operator/helper/time_test.go:273-287):
+    %s = zero-padded 9-digit nanoseconds (ctimefmt), gotime
+    .999999999 = optional fraction. Spark timestamps truncate to
+    microseconds."""
+    sample = "2019-03-08T18:41:12.152531115Z"
+    expect = dt.datetime(2019, 3, 8, 18, 41, 12, 152531)
+    got = ts_of(spark, sample, layout="%Y-%m-%dT%H:%M:%S.%sZ",
+                layout_type="strptime")
+    assert got == expect
+    got = ts_of(spark, sample, layout="2006-01-02T15:04:05.999999999Z",
+                layout_type="gotime")
+    assert got == expect
+    # optional fraction: the same gotime layout parses a fractionless ts
+    got = ts_of(spark, "2019-03-08T18:41:12Z",
+                layout="2006-01-02T15:04:05.999999999Z", layout_type="gotime")
+    assert got == dt.datetime(2019, 3, 8, 18, 41, 12)
+
+
 def test_location_parse_in_zone(spark):
     """time.go:56-66,180 (ParseInLocation): a zone-less layout is
     interpreted in the configured location; layouts carrying an offset
