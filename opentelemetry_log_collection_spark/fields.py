@@ -80,7 +80,14 @@ def merge_maps(base: Column, new: Column) -> Column:
     when the active session ALREADY has the policy set (get_spark sets
     it on engine-created sessions). Default path for any other
     session: filter+concat, which never forms duplicate keys and is
-    correct under any policy."""
+    correct under any policy.
+
+    CONTRACT: the branch is chosen at Column-CONSTRUCTION time but
+    map_concat enforces the policy at EXECUTION time, so a plan built
+    while a LAST_WIN session is active is only valid on sessions that
+    also run LAST_WIN (any get_spark session qualifies). Build plans
+    under the session that will execute them — the normal Spark usage
+    pattern; cross-session plan transplanting is not supported."""
     new_nn = F.coalesce(new, _empty_map())
     if _last_win_active():
         return F.map_concat(base, new_nn)

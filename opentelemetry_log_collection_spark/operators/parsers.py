@@ -54,6 +54,71 @@ from .time_parser import TimeParser
 from .trace_scope import ScopeNameParser, TraceParser
 
 
+# --------------------------------------------------------------------
+# shared one-pass JVM extraction machinery
+# --------------------------------------------------------------------
+
+_SEP = "\x01"
+
+
+def fully_anchored(regex: str) -> bool:
+    """^-anchored with no top-level alternation (in '^a|b' the anchor
+    binds only the first branch) — the eligibility test for the
+    one-pass regexp_replace extraction trick."""
+    if not regex.startswith("^"):
+        return False
+    depth = 0
+    in_class = False
+    i = 0
+    while i < len(regex):
+        c = regex[i]
+        if c == "\\":
+            i += 2
+            continue
+        if in_class:
+            if c == "]":
+                in_class = False
+        elif c == "[":
+            in_class = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif c == "|" and depth == 0:
+            return False
+        i += 1
+    return True
+
+
+def onepass_map(src: Column, pattern_java: str, groups: dict[str, int]) -> Column:
+    """One regex execution: rewrite the whole line to its \\x01-joined
+    groups, split, zip with names. The trailing ``(?s:.*)$`` consumes
+    the unmatched tail so nothing leaks into the last group. Rows
+    where a group VALUE contains \\x01 (split count mismatch) fall
+    back to per-group extraction — branch evaluation is per-row, so
+    the fallback costs nothing on the happy path. Callers guard with
+    ``src.rlike(pattern_java)``."""
+    g = len(groups)
+    repl = _SEP.join(f"${idx}" for idx in groups.values())
+    blob = F.regexp_replace(src, pattern_java + "(?s:.*)$", repl)
+    parts = F.split(blob, _SEP, -1)
+    names = F.array(*[F.lit(n) for n in groups])
+    fast = F.map_from_arrays(names, parts)
+    slow_entries: list[Column] = []
+    for name, idx in groups.items():
+        slow_entries.append(F.lit(name))
+        slow_entries.append(F.regexp_extract(src, pattern_java, idx))
+    return F.when(F.size(parts) == g, fast).otherwise(
+        F.create_map(*slow_entries)
+    )
+
+
+def strip_group_names(regex: str) -> str:
+    """Java forbids '_' in group names; extraction is by index, so the
+    Java-side pattern drops the names entirely."""
+    return _re.sub(r"\(\?P<[^>]+>", "(", regex)
+
+
 class ParserStage(ColumnStage):
     """Base for all parse_from/parse_to operators."""
 
@@ -84,6 +149,14 @@ class ParserStage(ColumnStage):
         """Return map<string,string>, null when the parse fails."""
         raise NotImplementedError
 
+    def refine(self, raw: Column) -> Column:
+        """Second-projection hook: turn the raw extraction map (already
+        MATERIALIZED as a column) into the final attribute map. Default
+        is identity. Parsers whose builtin impl derives many outputs
+        from one regex extraction override this so the extraction
+        subtree is evaluated once per row, not once per output key."""
+        return raw
+
     def transform(self, df: DataFrame, cond: Column):
         src = self.parse_from.get().cast(T.StringType())
         parsed = self.parse(src)
@@ -91,7 +164,10 @@ class ParserStage(ColumnStage):
         # pandas-UDF-backed parsers cannot be referenced inside the
         # higher-order-function lambdas the merge uses
         # (UNSUPPORTED_FEATURE.LAMBDA_FUNCTION_WITH_PYTHON_UDF)
-        df = df.withColumn("_parsed", F.when(cond & src.isNotNull(), parsed))
+        df = df.withColumn("_parsed_raw", F.when(cond & src.isNotNull(), parsed))
+        df = df.withColumn(
+            "_parsed", self.refine(F.col("_parsed_raw"))
+        ).drop("_parsed_raw")
         err = src.isNull() | F.col("_parsed").isNull()
         df = apply_updates(df, self.parse_to.set_map(F.col("_parsed")))
         for sub in self.subparsers:
@@ -150,73 +226,19 @@ class RegexParserStage(ParserStage):
             raise ValueError("regex pattern must contain named capture groups")
         self.groups = dict(compiled.groupindex)  # name -> group index
         self.pattern_py = regex
-        # Java forbids '_' in group names; extraction is by index, so
-        # the Java-side pattern drops the names entirely
-        self.pattern_java = _re.sub(r"\(\?P<[^>]+>", "(", regex)
+        self.pattern_java = strip_group_names(regex)
         if impl == "auto":
             # the replace trick needs the match pinned to the line
             # start, else regexp_replace rewrites EVERY occurrence
-            impl = "onepass" if self._fully_anchored(regex) else "builtin"
+            impl = "onepass" if fully_anchored(regex) else "builtin"
         self.impl = impl
-
-    @staticmethod
-    def _fully_anchored(regex: str) -> bool:
-        """^-anchored with no top-level alternation (in '^a|b' the
-        anchor binds only the first branch)."""
-        if not regex.startswith("^"):
-            return False
-        depth = 0
-        in_class = False
-        i = 0
-        while i < len(regex):
-            c = regex[i]
-            if c == "\\":
-                i += 2
-                continue
-            if in_class:
-                if c == "]":
-                    in_class = False
-            elif c == "[":
-                in_class = True
-            elif c == "(":
-                depth += 1
-            elif c == ")":
-                depth -= 1
-            elif c == "|" and depth == 0:
-                return False
-            i += 1
-        return True
-
-    _SEP = "\x01"
-
-    def _onepass_map(self, src: Column) -> Column:
-        """One regex execution: rewrite the whole line to its
-        \\x01-joined groups, split, zip with names. The trailing
-        ``(?s:.*)$`` consumes the unmatched tail so nothing leaks into
-        the last group. Rows where a group VALUE contains \\x01 (split
-        count mismatch) fall back to per-group extraction — branch
-        evaluation is per-row, so the fallback costs nothing on the
-        happy path."""
-        g = len(self.groups)
-        repl = self._SEP.join(f"${idx}" for idx in self.groups.values())
-        blob = F.regexp_replace(
-            src, self.pattern_java + "(?s:.*)$", repl
-        )
-        parts = F.split(blob, self._SEP, -1)
-        names = F.array(*[F.lit(n) for n in self.groups])
-        fast = F.map_from_arrays(names, parts)
-        slow_entries: list[Column] = []
-        for name, idx in self.groups.items():
-            slow_entries.append(F.lit(name))
-            slow_entries.append(F.regexp_extract(src, self.pattern_java, idx))
-        return F.when(F.size(parts) == g, fast).otherwise(
-            F.create_map(*slow_entries)
-        )
 
     def parse(self, src: Column) -> Column:
         if self.impl == "onepass":
             matched = src.rlike(self.pattern_java)
-            return F.when(matched, self._onepass_map(src))
+            return F.when(
+                matched, onepass_map(src, self.pattern_java, self.groups)
+            )
         if self.impl == "pandas":
             pat = self.pattern_py
 
@@ -499,14 +521,145 @@ class KeyValueParserStage(ParserStage):
 
 @register("uri_parser")
 class UriParserStage(ParserStage):
+    """Default impl is ``builtin``: scheme/user/host/port/path come
+    from ``parse_url`` (java.net.URI, codegen) and the multi-valued
+    query map is built with pure array algebra — split on '&',
+    url-decode each side, group values per key in appearance order,
+    sort keys, ``to_json`` the map<string,array<string>>. This is the
+    reference's map[string][]string JSON encoding
+    (operator/parser/uri/uri.go:129-163) with zero Python in the hot
+    path. ``impl='pandas'`` keeps the urllib implementation for
+    parity; inputs java.net.URI rejects but urllib tolerates (rare
+    malformed URLs) parse to an error on the builtin path."""
+
+    def __init__(self, impl: str = "builtin", **kw):
+        super().__init__(**kw)
+        self.impl = impl
+
+    @staticmethod
+    def _query_json(qs: Column) -> Column:
+        """querystring -> JSON text of {key: [values...]} with sorted
+        keys, parse_qs(keep_blank_values=True) semantics: tokens split
+        on '&', empty tokens dropped, bare 'k' means k=''."""
+
+        def dec(c: Column) -> Column:
+            # urllib leaves invalid %-sequences as-is; URLDecoder
+            # throws -> try + fall back to the raw text
+            return F.coalesce(F.try_url_decode(c), c)
+
+        toks = F.filter(F.split(qs, "&", -1), lambda t: t != F.lit(""))
+        pairs = F.transform(
+            toks,
+            lambda t: F.struct(
+                dec(F.substring_index(t, "=", 1)).alias("k"),
+                dec(
+                    F.when(
+                        F.instr(t, "=") > 0,
+                        F.substr(t, F.instr(t, "=") + F.lit(1)),
+                    ).otherwise(F.lit(""))
+                ).alias("v"),
+            ),
+        )
+        keys = F.array_sort(
+            F.array_distinct(F.transform(pairs, lambda p: p.getField("k")))
+        )
+        entries = F.transform(
+            keys,
+            lambda k: F.struct(
+                k.alias("key"),
+                F.transform(
+                    F.filter(pairs, lambda p: p.getField("k") == k),
+                    lambda p: p.getField("v"),
+                ).alias("value"),
+            ),
+        )
+        return F.to_json(F.map_from_entries(entries))
+
+    def refine(self, raw: Column) -> Column:
+        """Builtin path: raw map {scheme,userinfo,host,authority,path,
+        query,bare_query} -> final attribute map with empties omitted
+        (uri.go:99-127) and the query JSON-encoded."""
+        if self.impl != "builtin":
+            return raw
+
+        def g(k: str) -> Column:
+            return F.try_element_at(raw, F.lit(k))
+
+        def e(k: str, v: Column) -> Column:
+            return F.struct(
+                F.lit(k).alias("k"), v.cast(T.StringType()).alias("v")
+            )
+
+        def nonempty(v: Column) -> Column:
+            return F.when(v != "", v)
+
+        bare = g("bare_query")
+        # urllib lowercases scheme and hostname; username is the part
+        # of userinfo before ':'
+        user = F.when(
+            g("userinfo").isNotNull(),
+            F.substring_index(g("userinfo"), ":", 1),
+        )
+        port = F.regexp_extract(
+            F.coalesce(g("authority"), F.lit("")), r":([0-9]+)$", 1
+        )
+        entries = [
+            e("scheme", F.lower(g("scheme"))),
+            e("user", nonempty(user)),
+            e("host", F.lower(nonempty(g("host")))),
+            e("port", nonempty(port)),
+            e("path", nonempty(g("path"))),
+            e("query", F.when(g("query") != "", self._query_json(g("query")))),
+        ]
+        full = F.map_from_entries(
+            F.filter(F.array(*entries), lambda x: x.getField("v").isNotNull())
+        )
+        built = F.when(
+            bare.isNotNull(),
+            F.map_from_entries(
+                F.array(e("query", self._query_json(bare)))
+            ),
+        ).otherwise(F.when(F.size(full) > 0, full))
+        return F.when(raw.isNotNull(), built)
+
     def parse(self, src: Column) -> Column:
+        if self.impl == "builtin":
+            # bare query string (uri.go:79-97): '?...' carries ONLY the
+            # query; everything else goes through java.net.URI parts
+            bare = F.when(
+                src.startswith("?"), F.substr(src, F.lit(2))
+            )
+            parts = {
+                "scheme": F.parse_url(src, F.lit("PROTOCOL")),
+                "userinfo": F.parse_url(src, F.lit("USERINFO")),
+                "host": F.parse_url(src, F.lit("HOST")),
+                "authority": F.parse_url(src, F.lit("AUTHORITY")),
+                "path": F.parse_url(src, F.lit("PATH")),
+                "query": F.parse_url(src, F.lit("QUERY")),
+                "bare_query": bare,
+            }
+            entries = [
+                F.struct(F.lit(k).alias("k"), v.alias("v"))
+                for k, v in parts.items()
+            ]
+            return F.map_from_entries(
+                F.filter(
+                    F.array(*entries), lambda x: x.getField("v").isNotNull()
+                )
+            )
+
         @F.pandas_udf(MAP_SS)
         def parse_uri(s: pd.Series) -> pd.Series:
             from urllib.parse import parse_qs, urlsplit
 
             def qmap(q: str) -> str:
                 parsed = parse_qs(q, keep_blank_values=True)
-                return _json.dumps(parsed, separators=(",", ":"), sort_keys=True)
+                # ensure_ascii=False: the canonical query JSON carries
+                # raw UTF-8 (same bytes to_json emits on the builtin path)
+                return _json.dumps(
+                    parsed, separators=(",", ":"), sort_keys=True,
+                    ensure_ascii=False,
+                )
 
             def one(x):
                 if x is None:
@@ -563,6 +716,12 @@ _SYSLOG_SEVERITY_TEXT = [
 ]
 
 
+#: named-group indexes for the onepass JVM extraction (match the
+#: compiled groupindex of _RFC3164/_RFC5424 above)
+_RFC3164_GROUPS = dict(_RFC3164.groupindex)
+_RFC5424_GROUPS = dict(_RFC5424.groupindex)
+
+
 @register("syslog_parser")
 class SyslogParserStage(ParserStage):
     """RFC3164/5424 parse + the reference's postprocess: the parsed
@@ -571,9 +730,26 @@ class SyslogParserStage(ParserStage):
     helper attributes (severity, timestamp) are deleted afterwards
     (syslog.go:252-269). RFC3164 timestamps carry no year, so the
     default TimeParser runs missing-year inference against the
-    injected reference clock ``now``."""
+    injected reference clock ``now``; ``location`` configures the
+    zone RFC3164 wall-clock stamps are interpreted in (SyslogBase's
+    Location field, syslog.go Build; default UTC).
 
-    def __init__(self, protocol: str = "rfc3164", now: str | None = None, **kw):
+    Default impl is ``builtin``: both RFC patterns are ^-anchored, so
+    the shared one-pass JVM machinery (onepass_map) extracts all
+    groups in ONE regex execution inside whole-stage codegen, and the
+    attribute map (priority arithmetic + NILVALUE omission) is pure
+    column algebra in a second projection (``refine``). No Python
+    worker in the hot path. ``impl='pandas'`` keeps the original
+    Arrow-batched implementation for byte-level parity tests."""
+
+    def __init__(
+        self,
+        protocol: str = "rfc3164",
+        now: str | None = None,
+        location: str = "UTC",
+        impl: str = "builtin",
+        **kw,
+    ):
         from .time_parser import DEFAULT_NOW, TimeParser
 
         has_user_ts = kw.get("timestamp") is not None
@@ -581,19 +757,21 @@ class SyslogParserStage(ParserStage):
         if protocol not in ("rfc3164", "rfc5424"):
             raise ValueError(f"unsupported protocol {protocol!r}")
         self.protocol = protocol
+        self.impl = impl
         if not has_user_ts:
             # default wiring: parse attributes.timestamp into ts
             # (syslog.go:61-66 builds a native TimeParser when the
             # config carries none)
             if protocol == "rfc3164":
                 # "Jan 2 15:04:05" — no year; strptime + inference.
-                # The UDF below normalizes the space-padded day, so
+                # The parse normalizes the space-padded day, so
                 # %e ("d") matches single- and double-digit days.
                 tp = TimeParser(
                     "attributes.timestamp",
                     layout="%b %e %H:%M:%S",
                     layout_type="strptime",
                     now=now or DEFAULT_NOW,
+                    location=location,
                 )
             else:
                 # RFC5424 ts is ISO8601 — native cast handles it
@@ -602,6 +780,14 @@ class SyslogParserStage(ParserStage):
 
     def parse(self, src: Column) -> Column:
         proto = self.protocol
+        if self.impl == "builtin":
+            rx = _RFC5424 if proto == "rfc5424" else _RFC3164
+            groups = _RFC5424_GROUPS if proto == "rfc5424" else _RFC3164_GROUPS
+            pattern_java = strip_group_names(rx.pattern)
+            return F.when(
+                src.rlike(pattern_java),
+                onepass_map(src, pattern_java, groups),
+            )
 
         @F.pandas_udf(MAP_SS)
         def parse_syslog(s: pd.Series) -> pd.Series:
@@ -647,6 +833,59 @@ class SyslogParserStage(ParserStage):
             return s.map(one)
 
         return parse_syslog(src)
+
+    def refine(self, raw: Column) -> Column:
+        """Builtin path only: raw extraction map (one column read per
+        key — the extraction itself already ran once) -> final
+        attribute map with priority arithmetic and NILVALUE/absent-key
+        omission, mirroring the pandas impl and syslog.go's toSafeMap.
+        Null raw (failed parse / skipped row) stays null."""
+        if self.impl != "builtin":
+            return raw
+
+        def g(k: str) -> Column:
+            return F.try_element_at(raw, F.lit(k))
+
+        def e(k: str, v: Column) -> Column:
+            return F.struct(
+                F.lit(k).alias("k"), v.cast(T.StringType()).alias("v")
+            )
+
+        pri = g("pri").cast(T.IntegerType())
+        host = g("hostname")
+        entries = [
+            e("priority", pri),  # int cast strips leading zeros like str(int(x))
+            e("facility", F.floor(pri / F.lit(8)).cast(T.IntegerType())),
+            e("severity", pri % F.lit(8)),
+            e("hostname", F.when(host != "-", host)),
+            e("message", F.coalesce(g("message"), F.lit(""))),
+        ]
+        if self.protocol == "rfc5424":
+            ts = g("ts")
+            entries.append(e("timestamp", F.when(ts != "-", ts)))
+            entries.append(e("version", g("version")))
+            for k in ("appname", "proc_id", "msg_id"):
+                v = g(k)
+                entries.append(e(k, F.when(v != "-", v)))
+            sd = g("sd")
+            entries.append(e("structured_data", F.when(sd != "-", sd)))
+        else:
+            # normalize the RFC3164 space-padded day ("Jan  2") so the
+            # default TimeParser's "MMM d" layout parses it; the
+            # attribute is deleted at postprocess anyway
+            entries.append(
+                e("timestamp", F.regexp_replace(g("ts"), r"\s+", " "))
+            )
+            entries.append(e("appname", g("tag")))
+            # optional group: Java substitutes "" when non-participating
+            pid = g("proc_id")
+            entries.append(e("proc_id", F.when(pid != "", pid)))
+        built = F.map_from_entries(
+            F.filter(
+                F.array(*entries), lambda x: x.getField("v").isNotNull()
+            )
+        )
+        return F.when(raw.isNotNull(), built)
 
     def postprocess(self, df: DataFrame, ok: Column, err: Column):
         # postprocess (syslog.go:252-269): attributes.severity (0-7)

@@ -175,11 +175,21 @@ class RecombineStage(Stage):
         that into a broadcast when groups are few (the skewed case)
         and an even hash join when they are many (the already-uniform
         case), so no single task ever owns the whole bucket."""
+        # duplicate order keys would leave the window's tie order
+        # nondeterministic, and three consumers below (totals, starts,
+        # the row side) re-evaluate this subtree independently before
+        # joining back together — a row could join a `_start` computed
+        # under a DIFFERENT tie permutation. `_tie` (assigned before
+        # the range exchange, stable given Spark's own deterministic-
+        # replay requirement on upstream partitions) makes the order
+        # total, so every re-evaluation assigns identical positions.
         ordc = [F.col(c) for c in order]
-        d = df.repartitionByRange(*ordc).withColumn(
-            "_bkt", F.spark_partition_id()
+        d = (
+            df.withColumn("_tie", F.monotonically_increasing_id())
+            .repartitionByRange(*ordc)
+            .withColumn("_bkt", F.spark_partition_id())
         )
-        wloc = Window.partitionBy("_bkt").orderBy(*ordc)
+        wloc = Window.partitionBy("_bkt").orderBy(*ordc, F.col("_tie"))
         m = F.col("_match").cast(T.IntegerType())
         if self.is_first is not None:
             lcum = F.sum(m).over(
@@ -219,7 +229,9 @@ class RecombineStage(Stage):
         starts = d.groupBy("_grp", "_sub").agg(F.min("_rn").alias("_start"))
         d = d.join(starts, ["_grp", "_sub"])
         d = d.withColumn("_batch", self._batch_of(F.col("_rn") - F.col("_start")))
-        return d.drop("_bkt", "_lcum", "_lrn", "_moff", "_noff", "_rn", "_start")
+        return d.drop(
+            "_tie", "_bkt", "_lcum", "_lrn", "_moff", "_noff", "_rn", "_start"
+        )
 
     def apply(self, df: DataFrame) -> DataFrame:
         order = self._order_cols(df)
@@ -232,17 +244,21 @@ class RecombineStage(Stage):
 
         # missing source -> shared default bucket (recombine.go:212-221),
         # tagged by the skew-proof prefix-sum path; real sources keep
-        # the per-source window
+        # the per-source window. _src is a pure grouping helper (never
+        # output), so real sources get an "s:" prefix and the default
+        # bucket "d:" — a source whose VALUE is literally
+        # "DefaultSourceIdentifier" can never collide with the
+        # independently-numbered default path.
         helper = ["_src", "_grp", "_sub", "_batch"]
         sourced = self._tag_windowed(
             df.filter(F.col("_srcraw").isNotNull()).withColumn(
-                "_src", F.col("_srcraw")
+                "_src", F.concat(F.lit("s:"), F.col("_srcraw"))
             ),
             order,
         ).select(*entry_cols, *helper)
         defaulted = self._tag_default_bucket(
             df.filter(F.col("_srcraw").isNull()).withColumn(
-                "_src", F.lit("DefaultSourceIdentifier")
+                "_src", F.lit("d:")
             ),
             order,
         ).select(*entry_cols, *helper)

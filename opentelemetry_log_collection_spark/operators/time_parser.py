@@ -51,24 +51,58 @@ _EPOCH_LAYOUTS = ("s", "ms", "us", "ns", "s.ms", "s.us", "s.ns")
 DEFAULT_NOW = "2024-06-01T00:00:00+00:00"
 
 
+def _quote_alpha_runs(s: str) -> str:
+    """Quote MAXIMAL alphabetic runs for a Java DateTimeFormatter
+    pattern (all letters are reserved). Per-char quoting is wrong for
+    adjacent literals: 'U''T''C' reads as U-'-T-'-C because Java
+    treats '' inside text as an escaped quote — 'UTC' must be ONE
+    quoted run. Literal single quotes escape to ''."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c.isalpha():
+            j = i
+            while j < n and s[j].isalpha():
+                j += 1
+            out.append("'" + s[i:j] + "'")
+            i = j
+        elif c == "'":
+            out.append("''")
+            i += 1
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
 def strptime_to_java(layout: str) -> str:
-    out = []
+    # segment into (is_token, text) first so literal runs can be
+    # quoted maximally — see _quote_alpha_runs
+    segs: list[tuple[bool, str]] = []
     i = 0
     while i < len(layout):
         if layout[i] == "%" and i + 1 < len(layout):
             tok = layout[i : i + 2]
             if tok in _STRPTIME_TO_JAVA:
-                out.append(_STRPTIME_TO_JAVA[tok])
+                segs.append((True, _STRPTIME_TO_JAVA[tok]))
                 i += 2
                 continue
             raise ValueError(f"unsupported strptime directive {tok!r}")
-        # literal chars that collide with Java pattern letters need quoting
-        c = layout[i]
-        if c.isalpha():
-            out.append(f"'{c}'")
-        else:
-            out.append(c)
+        segs.append((False, layout[i]))
         i += 1
+    out: list[str] = []
+    lit: list[str] = []
+    for is_tok, text in segs:
+        if is_tok:
+            if lit:
+                out.append(_quote_alpha_runs("".join(lit)))
+                lit.clear()
+            out.append(text)
+        else:
+            lit.append(text)
+    if lit:
+        out.append(_quote_alpha_runs("".join(lit)))
     return "".join(out)
 
 
@@ -209,7 +243,7 @@ def _gotime_to_java(layout: str) -> str:
         ph = chr(0xE000 + i)
         out = out.replace(go, ph)
         repl[ph] = java
-    out = "".join(f"'{c}'" if c.isalpha() else c for c in out)
+    out = _quote_alpha_runs(out)
     for ph, java in repl.items():
         out = out.replace(ph, java)
     return out

@@ -211,18 +211,29 @@ def embedding_near_dups(
     n_planes: int = 6,
     n_tables: int = 3,
     seed: int = 7,
+    max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact threshold: (doc_a, doc_b, sim) with doc_a < doc_b.
 
     Same shuffle discipline as lsh_topk: the per-table self-join and
     the cross-table dedup carry (bucket, id) / (doc_a, doc_b) pairs
-    only; vectors re-attach once per side after the dedup."""
+    only; vectors re-attach once per side after the dedup — and the
+    same ``max_bucket_size`` guard: a near-constant embedding region
+    (one dense hash bucket) would make the self-join quadratic, so
+    mega-buckets are dropped, trading recall only on degenerate
+    regions."""
     v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv"))
     cand = None
     for t in range(n_tables):
         planes = _hyperplanes(dim, n_planes, seed + t)
         b = v.select("vid", bucket_col(F.col("vv"), planes).alias("bucket"))
+        if max_bucket_size is not None:
+            sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
+            b = b.join(
+                sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+                "bucket",
+            )
         left = b.select(F.col("vid").alias("doc_a"), "bucket")
         right = b.select(F.col("vid").alias("doc_b"), "bucket")
         pairs = (

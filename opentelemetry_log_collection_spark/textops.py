@@ -112,7 +112,41 @@ def lang_guess(texts: pd.Series) -> pd.Series:
     return texts.map(one)
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.select(
-        F.col("doc_id"), lang_guess(F.col(text_col)).alias("lang_guess")
+def _gram_count(low: Column, gram: str) -> Column:
+    """Non-overlapping occurrence count of ``gram`` in ``low`` via the
+    length-difference trick — exactly str.count's left-to-right
+    greedy semantics, JVM-side."""
+    diff = F.length(low) - F.length(F.replace(low, F.lit(gram), F.lit("")))
+    return F.floor(diff / F.lit(len(gram))).cast(T.LongType())
+
+
+def lang_guess_builtin(text: Column) -> Column:
+    """argmax over per-language trigram hit counts as pure column
+    algebra (codegen, zero Python): score each language by summing
+    occurrence counts, take the FIRST profile (in _LANG_PROFILES
+    order) that attains the max — the same strict-greater update rule
+    as the pandas UDF. Empty/null/score-0 text -> 'und'."""
+    low = F.lower(text)
+    scores = {
+        lang: sum(
+            (_gram_count(low, g) for g in grams[1:]),
+            _gram_count(low, grams[0]),
+        )
+        for lang, grams in _LANG_PROFILES.items()
+    }
+    mx = F.greatest(*scores.values())
+    out = F.when(mx <= 0, F.lit("und"))
+    for lang in _LANG_PROFILES:
+        out = out.when(scores[lang] == mx, F.lit(lang))
+    return out.otherwise(F.lit("und"))
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", impl: str = "builtin"
+) -> DataFrame:
+    guess = (
+        lang_guess_builtin(F.col(text_col))
+        if impl == "builtin"
+        else lang_guess(F.col(text_col))
     )
+    return df.select(F.col("doc_id"), guess.alias("lang_guess"))

@@ -281,3 +281,83 @@ def test_scope_name_parser(spark):
     out = run1(df, {"type": "scope_name_parser", "parse_from": "body"})
     [row] = collected(out, "scope_name")
     assert row["scope_name"] == "my.logger"
+
+
+# ---- builtin <-> pandas parity (syslog / uri JVM fast paths) ---------
+
+_SYSLOG_CORPUS_3164 = [
+    "<34>Jan 12 06:30:00 1.2.3.4 apache_server: test message",
+    "<34>Jan  2 06:30:00 host-a svc[123]: padded day",
+    "<0>Dec 31 23:59:59 - tagonly: dash hostname omitted",
+    "<191>Feb  9 00:00:00 h t: ",
+    "<7>Mar 15 12:00:00 box proc[9]:no space after colon",
+    "not a syslog line at all",
+    "<999x>Jan 12 06:30:00 h t: bad pri",
+]
+
+_SYSLOG_CORPUS_5424 = [
+    "<165>1 2003-10-11T22:14:15.003Z mymachine evntslog 111 ID47 - An application event",
+    "<34>1 2003-10-11T22:14:15Z host app - - [x@1 a=\"b\"] msg here",
+    "<0>1 - - - - - -",
+    "<191>1 2021-01-01T00:00:00+02:00 - app 1 m1 [a@1 k=\"v\"][b@2 j=\"w\"]",
+    "<7>1 2003-10-11T22:14:15.003Z host app 1 m -",
+    "garbage",
+]
+
+
+@pytest.mark.parametrize("protocol,corpus", [
+    ("rfc3164", _SYSLOG_CORPUS_3164),
+    ("rfc5424", _SYSLOG_CORPUS_5424),
+])
+def test_syslog_builtin_pandas_parity(spark, protocol, corpus):
+    """The one-pass JVM impl and the Arrow/regex impl must agree
+    key-for-key on every corpus line, including error rows
+    (syslog.go:144-272 semantics under both execution strategies)."""
+    df = make_entries(spark, corpus)
+    outs = {}
+    for impl in ("builtin", "pandas"):
+        out = run1(df, {"type": "syslog_parser", "protocol": protocol,
+                        "impl": impl})
+        outs[impl] = collected(out, "attributes", "severity",
+                               "severity_text", "ts")
+    for b, p in zip(outs["builtin"], outs["pandas"]):
+        assert dict(b["attributes"] or {}) == dict(p["attributes"] or {})
+        assert b["severity"] == p["severity"]
+        assert b["severity_text"] == p["severity_text"]
+        assert b["ts"] == p["ts"]
+
+
+_URI_CORPUS = [
+    "https://user:pw@host.example.com:8443/a/b?x=1&y=&z",
+    "http://EXAMPLE.COM/path",
+    "/api/v2/items?id=3&id=40",
+    "/bare/path",
+    "?only=query&only=2",
+    "?",
+    "https://h/p?a=%20b+c",
+    "https://h/esc?k=a%2Fb",
+]
+
+
+def test_uri_builtin_pandas_parity(spark):
+    """parse_url + array-algebra query JSON vs urllib, per key
+    (uri.go:99-163): scheme/host lowercased, user before ':', empties
+    omitted, multi-valued query JSON with sorted keys."""
+    df = make_entries(spark, _URI_CORPUS)
+    outs = {}
+    for impl in ("builtin", "pandas"):
+        out = run1(df, {"type": "uri_parser", "impl": impl})
+        outs[impl] = collected(out, "attributes")
+    for b, p, line in zip(outs["builtin"], outs["pandas"], _URI_CORPUS):
+        assert dict(b["attributes"] or {}) == dict(p["attributes"] or {}), line
+
+
+def test_uri_builtin_error_rows(spark):
+    """Inputs neither parser can make sense of are errors (null parse)
+    on both paths; on_error=drop removes them identically."""
+    df = make_entries(spark, ["/ok?a=1", ""])
+    for impl in ("builtin", "pandas"):
+        out = run1(df, {"type": "uri_parser", "impl": impl,
+                        "on_error": "drop"})
+        rows = collected(out, "text")
+        assert [r["text"] for r in rows] == ["/ok?a=1"], impl

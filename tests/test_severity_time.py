@@ -13,6 +13,7 @@ from opentelemetry_log_collection_spark.operators.severity import (
     build_mapping,
 )
 from opentelemetry_log_collection_spark.operators.time_parser import (
+    _gotime_to_java,
     strptime_to_java,
 )
 from opentelemetry_log_collection_spark.pipeline import build_stage
@@ -180,3 +181,25 @@ def test_native_and_invalid(spark):
          "layout": "%Y-%m-%d", "on_error": "drop"}
     ).apply(df)
     assert out.count() == 0
+
+
+def test_adjacent_literal_letters_quote_as_one_run():
+    """Layouts with >=2 consecutive literal letters must quote the RUN
+    ('UTC'), not each char ('U''T''C' — Java reads the inner '' as an
+    escaped quote and the pattern never matches)."""
+    assert strptime_to_java("%H:%M:%S UTC") == "HH:mm:ss 'UTC'"
+    assert _gotime_to_java("2006-01-02 15:04:05 UTC") == (
+        "yyyy-MM-dd HH:mm:ss 'UTC'"
+    )
+
+
+def test_strptime_literal_utc_parses(spark):
+    got = ts_of(spark, "2020-03-04 11:22:33 UTC",
+                layout="%Y-%m-%d %H:%M:%S UTC", layout_type="strptime")
+    assert got == dt.datetime(2020, 3, 4, 11, 22, 33)
+
+
+def test_gotime_literal_utc_parses(spark):
+    got = ts_of(spark, "2020-03-04 11:22:33 UTC",
+                layout="2006-01-02 15:04:05 UTC", layout_type="gotime")
+    assert got == dt.datetime(2020, 3, 4, 11, 22, 33)

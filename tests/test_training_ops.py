@@ -189,3 +189,36 @@ def test_embedding_near_dups(spark, vectors):
     assert (0, 1) in pairs or pairs == set()  # recall-dependent but never wrong
     for r in out:
         assert r["sim"] >= 0.99
+
+
+def test_language_id_builtin_pandas_parity(spark):
+    """The codegen replace-count scorer and the Arrow UDF must agree
+    on every document, including empty/short/mixed text."""
+    rows = [
+        (1, "the cat and the dog are in the house"),
+        (2, "la casa de la abuela que está en el pueblo"),
+        (3, "der hund und die katze sind schön"),
+        (4, "le chien est dans le jardin et le chat"),
+        (5, "我有一个他这是的"),
+        (6, ""),
+        (7, "zzzz qqqq xxxx"),
+        (8, None),
+        (9, "THE CAT AND THE DOG"),  # case folding
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    b = {r["doc_id"]: r["lang_guess"]
+         for r in textops.language_id(df, impl="builtin").collect()}
+    p = {r["doc_id"]: r["lang_guess"]
+         for r in textops.language_id(df, impl="pandas").collect()}
+    assert b == p
+    assert b[6] == "und" and b[8] == "und"
+
+
+def test_embedding_near_dups_bucket_guard(spark, vectors):
+    """max_bucket_size=0 drops every bucket -> zero candidate pairs
+    (the quadratic-bucket guard, same as lsh_topk's)."""
+    out = similarity.embedding_near_dups(
+        vectors, threshold=0.0, dim=4, n_planes=1, n_tables=2,
+        max_bucket_size=0,
+    )
+    assert out.count() == 0
