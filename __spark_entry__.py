@@ -683,22 +683,83 @@ def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only (non-SQL-expressible) --------------------------------
+def q_time_gotime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_parser with a gotime (Go reference-time) layout — the k8s
+    layout 2006-01-02T15:04:05.999999999Z07:00 with its OPTIONAL
+    nanosecond fraction (operator/helper/time.go:80-85,
+    time_test.go:278). Even event_ids carry a 9-digit fraction, odd
+    ones none — both must parse under ONE layout."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        "SELECT event_id, concat("
+        "  date_format(cast(ts as timestamp_ltz), \"yyyy-MM-dd'T'HH:mm:ss\"),"
+        "  case when event_id % 2 = 0 then concat('.',"
+        "    lpad(cast(unix_micros(cast(ts as timestamp_ltz)) % 1000000 as string), 6, '0'),"
+        "    '000') else '' end,"
+        "  'Z') AS line FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("g").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage(
+        {
+            "type": "time_parser",
+            "layout_type": "gotime",
+            "layout": "2006-01-02T15:04:05.999999999Z07:00",
+        }
+    ).apply(df)
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Language-ID via char-trigram profiles (vectorized pandas UDF) —
-    heuristic, no SQL oracle; driver records rows-only check."""
+    """Language-ID via char-trigram profiles — codegen replace-count
+    scorer (textops.lang_guess_builtin); deterministic, so the same
+    literal profiles drive the DuckDB oracle."""
     return textops.language_id(_documents(spark, sf_dir))
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH ANN (approximate; recall-dependent) —
-    rows-only check."""
+    """Random-hyperplane LSH ANN. Approximate vs brute force, but
+    DETERMINISTIC given the md5-derived hyperplanes — the oracle
+    replays the same planes as literal arrays (bucket sign bits ->
+    candidate collisions -> exact cosine re-rank)."""
     emb = _embeddings(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 8)
     out = similarity.lsh_topk(queries, emb, k=5, dim=64)
-    return out.select("query_id", "rank", "neighbor_id")
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
+def q_streaming_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship pipeline through Structured Streaming
+    (availableNow): stream the transcript table, parse + route per
+    microbatch, multi-sink fan-out via foreachBatch, then read back
+    every routed row. Must equal the batch router's assignment —
+    the continuous path is not a unit-test-only sibling."""
+    import tempfile
+
+    from opentelemetry_log_collection_spark.streaming import streaming_flagship
+
+    # the dir outlives this call: the returned frame reads lazily from
+    # it (a few MB at driver SFs; /tmp-lifetime is fine)
+    work = tempfile.mkdtemp(prefix="stream_flagship_")
+    q = streaming_flagship(spark, sf_dir, f"{work}/out", f"{work}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    return spark.read.parquet(f"{work}/out/data").select(
+        "conv_id", "turn_idx", "sink"
+    )
 
 
 def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -786,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scope_name": q_scope_name,
         "csv_headerattr": q_csv_headerattr,
         "time_epoch": q_time_epoch,
+        "time_gotime": q_time_gotime,
         "transform_restructure": q_transform_restructure,
         "filter_drop": q_filter_drop,
         "enrich_roles": q_enrich_roles,
@@ -804,6 +866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "streaming_routed": q_streaming_routed,
     }
 
 
@@ -963,6 +1026,16 @@ FROM events"""
 SELECT event_id,
        epoch_us(ts) // 1000 * 1000 AS ms_us,
        epoch_us(ts)                AS sus_us
+FROM events"""
+
+    # the gotime lines are generated FROM events.ts (9-digit fraction
+    # on even ids, none on odd), so the oracle recomputes the expected
+    # instant directly: micros survive the fraction path, odd rows
+    # truncate to seconds
+    sqls["time_gotime"] = """
+SELECT event_id,
+       CASE WHEN event_id % 2 = 0 THEN epoch_us(ts)
+            ELSE epoch_us(date_trunc('second', ts)) END AS ts_us
 FROM events"""
 
     sqls["recombine_newest"] = f"""{ORACLE_CTE}, marked AS (
@@ -1159,6 +1232,87 @@ SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,
        CAST(16 AS INTEGER) AS frame_bytes
 FROM (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2) d,
 UNNEST(generate_series(0, least(7, n // 16 - 1))) AS t(i)"""
+
+    # ---- lang_id: the SAME literal trigram profiles, scored with the
+    # replace-count trick; first-language-wins on ties, max 0 -> 'und'
+    # (textops.lang_guess_builtin)
+    from opentelemetry_log_collection_spark.textops import _LANG_PROFILES
+
+    def _cnt(g: str) -> str:
+        esc = g.replace("'", "''")
+        return f"(length(t) - length(replace(t, '{esc}', ''))) // {len(g)}"
+
+    _scores = {
+        lang: " + ".join(_cnt(g) for g in grams)
+        for lang, grams in _LANG_PROFILES.items()
+    }
+    _score_cols = ",\n         ".join(
+        f"({expr}) AS s_{lang}" for lang, expr in _scores.items()
+    )
+    _mx = "greatest(" + ", ".join(f"s_{lang}" for lang in _LANG_PROFILES) + ")"
+    _pick = " ".join(
+        f"WHEN s_{lang} = mx THEN '{lang}'" for lang in _LANG_PROFILES
+    )
+    sqls["lang_id"] = f"""
+WITH lo AS (SELECT doc_id, lower(text) AS t FROM documents),
+ s AS (SELECT doc_id, {_score_cols} FROM lo),
+ m AS (SELECT *, {_mx} AS mx FROM s)
+SELECT doc_id,
+       CASE WHEN mx IS NULL OR mx <= 0 THEN 'und' {_pick} ELSE 'und' END
+         AS lang_guess
+FROM m"""
+
+    # ---- ann_lsh: replay the md5-derived hyperplanes as literal
+    # arrays (similarity._hyperplanes, seed 42/43): sign-bit buckets
+    # per table, candidate collisions, exact cosine re-rank. The
+    # max_bucket_size guard (100k) can never trigger at oracle SFs.
+    from opentelemetry_log_collection_spark.similarity import _hyperplanes
+
+    def _bucket_expr(vcol: str, t: int) -> str:
+        planes = _hyperplanes(64, 8, 42 + t)
+        bits = " || ".join(
+            "(CASE WHEN list_dot_product("
+            + vcol
+            + ", ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+        return f"'t{t}:' || {bits}"
+
+    sqls["ann_lsh"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), qb AS (
+  SELECT query_id, {_bucket_expr("qv", 0)} AS bucket FROM q
+  UNION ALL
+  SELECT query_id, {_bucket_expr("qv", 1)} AS bucket FROM q
+), cb AS (
+  SELECT neighbor_id, {_bucket_expr("cv", 0)} AS bucket FROM c
+  UNION ALL
+  SELECT neighbor_id, {_bucket_expr("cv", 1)} AS bucket FROM c
+), cand AS (
+  SELECT DISTINCT qb.query_id, cb.neighbor_id
+  FROM cb JOIN qb USING (bucket)
+  WHERE cb.neighbor_id <> qb.query_id
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= 5"""
+
+    # the streaming flagship must route every row exactly like batch
+    sqls["streaming_routed"] = sqls["routed_rows"]
 
     sqls["embed_topk"] = """
 WITH q AS (

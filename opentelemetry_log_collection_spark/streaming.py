@@ -100,20 +100,32 @@ def streaming_recombine(
     combine_with: str = "\n",
     max_batch_size: int = 1000,
     flush_timeout_ms: int = 5000,
-    is_first_role: str = "user",
+    is_first_entry: str | None = None,
+    is_last_entry: str | None = None,
 ) -> DataFrame:
     """recombine as applyInPandasWithState keyed by conv_id.
 
     Boundary semantics mirror the batch operator (and the reference,
-    recombine.go:225-242): a first-boundary row flushes the open
-    batch and starts a new one; rows before any boundary flush alone;
+    recombine.go:225-274) in BOTH modes: with ``is_first_entry`` a
+    boundary row flushes the open batch and STARTS a new one (rows
+    before any boundary flush alone); with ``is_last_entry`` a
+    boundary row is appended and then CLOSES the batch.
     ``max_batch_size`` force-flushes; the state timeout is the
     ``force_flush_period`` analogue (recombine.go:152-176).
 
-    The predicate is pre-evaluated into a `_match` column by the
-    CALLER's plan (vectorized) — the stateful function only runs the
-    buffering state machine, one Arrow batch per (key, microbatch).
-    """
+    The boundary is a compiled engine expression (the same
+    ``compile_bool`` language the batch operator uses) evaluated in
+    the CALLER-side plan as a vectorized `_match` column — the
+    stateful function only runs the buffering state machine, one
+    Arrow batch per (key, microbatch). Default boundary:
+    ``attributes.role == "user"`` (is_first). A frame without entry
+    columns is lifted via ``to_entries`` first (pure projection —
+    streaming-safe)."""
+    if is_first_entry is not None and is_last_entry is not None:
+        raise ValueError("at most one of is_first_entry / is_last_entry")
+    if is_first_entry is None and is_last_entry is None:
+        is_first_entry = 'attributes.role == "user"'
+    last_mode = is_last_entry is not None
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -148,7 +160,34 @@ def streaming_recombine(
         # (C-level), boundaries come from one boolean scan, and all
         # batch construction is O(groups) slicing — no per-row pandas
         frames = [p for p in pdfs if len(p)]
-        if frames:
+        if frames and last_mode:
+            # is_last: a boundary row is APPENDED then closes the
+            # batch; the cap flushes mid-accumulation, so a closed
+            # segment splits into repeating cap-sized chunks — the
+            # exact mirror of the batch operator's
+            # floor(pos/cap) sub-split (recombine.go:269-274)
+            pdf = pd.concat(frames, ignore_index=True).sort_values("turn_idx")
+            m_new = pdf["_match"].to_numpy(dtype=bool)
+            idxs = open_idxs + [int(i) for i in pdf["turn_idx"].tolist()]
+            txts = open_texts + pdf["text"].tolist()
+            open_idxs, open_texts = [], []
+            k = len(idxs) - len(m_new)
+            ends = [k + i for i in range(len(m_new)) if m_new[i]]
+            start = 0
+            for e0 in ends:
+                seg_i, seg_t = idxs[start : e0 + 1], txts[start : e0 + 1]
+                for j in range(0, len(seg_t), max_batch_size):
+                    emit(seg_i[j : j + max_batch_size],
+                         seg_t[j : j + max_batch_size])
+                start = e0 + 1
+            # trailing rows: full cap chunks flush, remainder stays open
+            tail_i, tail_t = idxs[start:], txts[start:]
+            full = (len(tail_t) // max_batch_size) * max_batch_size
+            for j in range(0, full, max_batch_size):
+                emit(tail_i[j : j + max_batch_size],
+                     tail_t[j : j + max_batch_size])
+            open_idxs, open_texts = tail_i[full:], tail_t[full:]
+        elif frames:
             pdf = pd.concat(frames, ignore_index=True).sort_values("turn_idx")
             m = pdf["_match"].to_numpy(dtype=bool)
             idxs = [int(i) for i in pdf["turn_idx"].tolist()]
@@ -203,7 +242,13 @@ def streaming_recombine(
                 out_rows, columns=["source", "turn_idx", "text", "n_parts"]
             )
 
-    matched = (F.col("role") == F.lit(is_first_role)).alias("_match")
+    if "attributes" not in entries.columns:
+        entries = to_entries(entries)
+    from .exprs import compile_bool  # local: avoid import cycle
+
+    matched = F.coalesce(
+        compile_bool(is_first_entry or is_last_entry), F.lit(False)
+    ).alias("_match")
     keyed = entries.select("conv_id", "turn_idx", "text", matched)
     return keyed.groupBy("conv_id").applyInPandasWithState(
         fn,

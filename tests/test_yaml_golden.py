@@ -130,3 +130,75 @@ def test_golden_recombine_tab_runs(spark):
     df = make_entries(spark, [("a", "user"), ("b", "system")])
     out = next(iter(p.run(df).values()))
     assert [r["text"] for r in collected(out, "text")] == ["a\tb"]
+
+
+# ---- round-3 corpus: csv / uri / syslog / time / severity /
+# flatten / retain / filter ------------------------------------------
+
+
+def test_golden_csv_basic():
+    s = build_stage(load("csv_basic.yaml"))
+    assert s.header == ["id", "severity", "message"]
+    assert s.delimiter == "," and s.header_attribute is None
+    assert str(s.parse_from) == "attributes.message"
+
+
+def test_golden_csv_header_attribute():
+    s = build_stage(load("csv_header_attribute.yaml"))
+    assert s.header is None and s.header_attribute == "header_field"
+    assert s.delimiter == "\t"
+
+
+def test_golden_uri_parse_from():
+    s = build_stage(load("uri_parse_from.yaml"))
+    assert str(s.parse_from) == "body.from"
+    assert s.impl == "builtin"  # JVM fast path is the default
+
+
+def test_golden_syslog_rfc5424():
+    s = build_stage(load("syslog_rfc5424.yaml"))
+    assert s.protocol == "rfc5424" and s.on_error == "send"
+    # default wiring: a native TimeParser on attributes.timestamp
+    [tp] = s.subparsers
+    assert tp.layout_type == "native"
+    assert str(tp.parse_from) == "attributes.timestamp"
+
+
+def test_golden_time_gotime():
+    s = build_stage(load("time_gotime.yaml"))
+    assert s.parser.layout_type == "gotime"
+    assert s.parser.java_layout == "yyyy-MM-dd'T'HH:mm:ss[.SSSSSSSSS]XXX"
+    assert s.parser.has_year and s.parser.has_zone
+
+
+def test_golden_severity_mapping():
+    s = build_stage(load("severity_mapping.yaml"))
+    sev = s.parser
+    assert (500, 599, 17) in sev.ranges  # error = 5xx
+    assert (400, 499, 13) in sev.ranges  # warn = 4xx
+    assert (200, 299, 9) in sev.ranges   # info = {min,max}
+    assert str(sev.parse_from) == "attributes.status"
+
+
+def test_golden_flatten():
+    s = build_stage(load("flatten_one_level.yaml"))
+    assert str(s.field) == "body.nested"
+
+
+def test_golden_retain_one_of_each():
+    s = build_stage(load("retain_one_of_each.yaml"))
+    assert [str(f) for f in s.fields] == [
+        "resource.key1", "attributes.key3", "body.key"
+    ]
+
+
+def test_golden_filter_expr_runs(spark):
+    s = build_stage(load("filter_expr.yaml"))
+    assert s.expr == 'attributes.env == "dev"'
+    df = make_entries(spark, ["keep me", "drop me"])
+    from opentelemetry_log_collection_spark.operators.transforms import AddStage
+
+    df = AddStage(field="attributes.env", value="dev",
+                  if_expr='body startsWith "drop"').apply(df)
+    out = s.apply(df)
+    assert [r["text"] for r in collected(out, "text")] == ["keep me"]

@@ -18,6 +18,10 @@ from opentelemetry_log_collection_spark.session import get_spark  # noqa: E402
 AUDIT = [
     "regex_tomcat",
     "severity_http",
+    "syslog_rfc3164",
+    "syslog_rfc5424",
+    "uri_request",
+    "lang_id",
     "routed_rows",
     "router_counts",
     "recombine_conv",
@@ -25,6 +29,7 @@ AUDIT = [
     "dedup_exact",
     "minhash_pairs",
     "embed_topk",
+    "ann_lsh",
     "token_stats",
 ]
 
@@ -45,8 +50,10 @@ def audit_one(name: str, df) -> list[str]:
         print(" ", s[:160])
     for p in pushed[:4]:
         print(" ", p[:160])
-    if n_python and name not in ("lang_id", "media_features", "media_frames",
-                                 "ann_lsh"):
+    # mapInPandas is the DESIGN for multimodal decode; everything else
+    # (incl. syslog/uri/lang_id since their builtin rewrites) must be
+    # python-free
+    if n_python and name not in ("media_features", "media_frames"):
         smells.append(f"{name}: python node(s) in plan ({n_python})")
     if "full" in " ".join(sys.argv):
         print(plan)
