@@ -50,12 +50,16 @@ def main() -> None:
     bench_queries = [
         "regex_tomcat",
         "severity_http",
+        "syslog_rfc3164",
+        "uri_request",
         "recombine_conv",
         "routed_rows",
         "dedup_exact",
         "minhash_pairs",
         "token_stats",
+        "lang_id",
         "embed_topk",
+        "ann_lsh",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -90,26 +90,40 @@ def fully_anchored(regex: str) -> bool:
     return True
 
 
+#: match marker prepended to the rewritten line: a non-matching
+#: regexp_replace returns its input UNCHANGED, so "starts with the
+#: marker" detects the match without a second regex execution (rlike
+#: costs as much as the replace itself — measured 1.45s each at 5M
+#: rows / 32 cores). A pathological input that (a) starts with these
+#: three control bytes AND (b) contains exactly group-count-1 \x01
+#: bytes could spoof a match; log lines containing \x01\x02\x03
+#: control bytes are outside every format this engine parses.
+_MARK = "\x02\x03\x02"
+
+
 def onepass_map(src: Column, pattern_java: str, groups: dict[str, int]) -> Column:
-    """One regex execution: rewrite the whole line to its \\x01-joined
-    groups, split, zip with names. The trailing ``(?s:.*)$`` consumes
-    the unmatched tail so nothing leaks into the last group. Rows
-    where a group VALUE contains \\x01 (split count mismatch) fall
-    back to per-group extraction — branch evaluation is per-row, so
-    the fallback costs nothing on the happy path. Callers guard with
-    ``src.rlike(pattern_java)``."""
+    """SINGLE regex execution per row: rewrite the whole line to
+    marker + \\x01-joined groups, split, zip with names; null when the
+    pattern did not match (no marker). The trailing ``(?s:.*)$``
+    consumes the unmatched tail so nothing leaks into the last group.
+    Rows where a group VALUE contains \\x01 (split count mismatch)
+    fall back to guarded per-group extraction — branch evaluation is
+    per-row, so the fallback costs nothing on the happy path."""
     g = len(groups)
-    repl = _SEP.join(f"${idx}" for idx in groups.values())
+    repl = _MARK + _SEP.join(f"${idx}" for idx in groups.values())
     blob = F.regexp_replace(src, pattern_java + "(?s:.*)$", repl)
-    parts = F.split(blob, _SEP, -1)
+    parts = F.split(F.substr(blob, F.lit(len(_MARK) + 1)), _SEP, -1)
     names = F.array(*[F.lit(n) for n in groups])
     fast = F.map_from_arrays(names, parts)
     slow_entries: list[Column] = []
     for name, idx in groups.items():
         slow_entries.append(F.lit(name))
         slow_entries.append(F.regexp_extract(src, pattern_java, idx))
-    return F.when(F.size(parts) == g, fast).otherwise(
-        F.create_map(*slow_entries)
+    slow = F.when(src.rlike(pattern_java), F.create_map(*slow_entries))
+    return (
+        F.when(~F.startswith(blob, F.lit(_MARK)), F.lit(None).cast(MAP_SS))
+        .when(F.size(parts) == g, fast)
+        .otherwise(slow)
     )
 
 
@@ -235,10 +249,9 @@ class RegexParserStage(ParserStage):
 
     def parse(self, src: Column) -> Column:
         if self.impl == "onepass":
-            matched = src.rlike(self.pattern_java)
-            return F.when(
-                matched, onepass_map(src, self.pattern_java, self.groups)
-            )
+            # onepass_map embeds the match guard (marker detection) —
+            # no separate rlike execution
+            return onepass_map(src, self.pattern_java, self.groups)
         if self.impl == "pandas":
             pat = self.pattern_py
 
@@ -519,18 +532,28 @@ class KeyValueParserStage(ParserStage):
 # --------------------------------------------------------------------
 
 
+#: RFC 3986 appendix-B split, constrained to urllib's scheme grammar
+#: (a scheme must start with a letter, else the ':' belongs to the
+#: path — urlsplit does the same check). onepass_map appends
+#: ``(?s:.*)$`` which consumes the #fragment.
+_URI_SPLIT = r"^(?:([A-Za-z][A-Za-z0-9+.\-]*):)?(?://([^/?#]*))?([^?#]*)(?:\?([^#]*))?"
+_URI_GROUPS = {"scheme": 1, "authority": 2, "path": 3, "query": 4}
+
+
 @register("uri_parser")
 class UriParserStage(ParserStage):
-    """Default impl is ``builtin``: scheme/user/host/port/path come
-    from ``parse_url`` (java.net.URI, codegen) and the multi-valued
-    query map is built with pure array algebra — split on '&',
-    url-decode each side, group values per key in appearance order,
-    sort keys, ``to_json`` the map<string,array<string>>. This is the
-    reference's map[string][]string JSON encoding
+    """Default impl is ``builtin``: ONE regex execution per row (the
+    RFC 3986 appendix-B split — the same algorithm urlsplit uses —
+    through the shared onepass machinery), then pure column algebra:
+    userinfo/host/port carved out of the authority with substring
+    arithmetic, and the multi-valued query map built as array ops —
+    split on '&', url-decode each side, group values per key in
+    appearance order, sort keys, ``to_json`` the
+    map<string,array<string>>. This is the reference's
+    map[string][]string JSON encoding
     (operator/parser/uri/uri.go:129-163) with zero Python in the hot
     path. ``impl='pandas'`` keeps the urllib implementation for
-    parity; inputs java.net.URI rejects but urllib tolerates (rare
-    malformed URLs) parse to an error on the builtin path."""
+    byte-level parity tests."""
 
     def __init__(self, impl: str = "builtin", **kw):
         super().__init__(**kw)
@@ -576,77 +599,69 @@ class UriParserStage(ParserStage):
         return F.to_json(F.map_from_entries(entries))
 
     def refine(self, raw: Column) -> Column:
-        """Builtin path: raw map {scheme,userinfo,host,authority,path,
-        query,bare_query} -> final attribute map with empties omitted
-        (uri.go:99-127) and the query JSON-encoded."""
+        """Builtin path: raw split map {scheme,authority,path,query}
+        (or {bare_query}) -> final attribute map with empties omitted
+        (uri.go:99-127) and the query JSON-encoded. urllib semantics:
+        scheme/host lowercased, userinfo = authority before the LAST
+        '@', username = userinfo before ':', port = trailing digits,
+        IPv6 brackets stripped."""
         if self.impl != "builtin":
             return raw
 
         def g(k: str) -> Column:
             return F.try_element_at(raw, F.lit(k))
 
-        def e(k: str, v: Column) -> Column:
-            return F.struct(
-                F.lit(k).alias("k"), v.cast(T.StringType()).alias("v")
-            )
+        empty = F.create_map().cast(MAP_SS)
 
-        def nonempty(v: Column) -> Column:
-            return F.when(v != "", v)
+        def opt(k: str, v: Column, cond: Column) -> Column:
+            # conditional singleton map: map_concat of these stays
+            # inside whole-stage codegen (higher-order filter /
+            # map_from_entries would fall back to interpreted eval —
+            # measured 2-3x slower at 5M rows)
+            return F.when(
+                cond, F.create_map(F.lit(k), v.cast(T.StringType()))
+            ).otherwise(empty)
 
         bare = g("bare_query")
-        # urllib lowercases scheme and hostname; username is the part
-        # of userinfo before ':'
-        user = F.when(
-            g("userinfo").isNotNull(),
-            F.substring_index(g("userinfo"), ":", 1),
-        )
-        port = F.regexp_extract(
-            F.coalesce(g("authority"), F.lit("")), r":([0-9]+)$", 1
-        )
-        entries = [
-            e("scheme", F.lower(g("scheme"))),
-            e("user", nonempty(user)),
-            e("host", F.lower(nonempty(g("host")))),
-            e("port", nonempty(port)),
-            e("path", nonempty(g("path"))),
-            e("query", F.when(g("query") != "", self._query_json(g("query")))),
-        ]
-        full = F.map_from_entries(
-            F.filter(F.array(*entries), lambda x: x.getField("v").isNotNull())
+        auth = F.coalesce(g("authority"), F.lit(""))
+        hostpart = F.substring_index(auth, "@", -1)
+        userinfo = F.when(
+            F.instr(auth, "@") > 0,
+            F.substring(auth, F.lit(1), F.length(auth) - F.length(hostpart) - 1),
+        ).otherwise(F.lit(""))
+        port = F.regexp_extract(hostpart, r":([0-9]+)$", 1)
+        hostnoport = F.when(
+            port != "",
+            F.substring(
+                hostpart, F.lit(1),
+                F.length(hostpart) - F.length(port) - 1,
+            ),
+        ).otherwise(hostpart)
+        host = F.lower(F.regexp_replace(hostnoport, r"^\[|\]$", ""))
+        user = F.substring_index(userinfo, ":", 1)
+        full = F.map_concat(
+            opt("scheme", F.lower(g("scheme")), g("scheme") != ""),
+            opt("user", user, user != ""),
+            opt("host", host, host != ""),
+            opt("port", port, port != ""),
+            opt("path", g("path"), g("path") != ""),
+            opt("query", self._query_json(g("query")), g("query") != ""),
         )
         built = F.when(
             bare.isNotNull(),
-            F.map_from_entries(
-                F.array(e("query", self._query_json(bare)))
-            ),
+            F.create_map(F.lit("query"), self._query_json(bare)),
         ).otherwise(F.when(F.size(full) > 0, full))
         return F.when(raw.isNotNull(), built)
 
     def parse(self, src: Column) -> Column:
         if self.impl == "builtin":
-            # bare query string (uri.go:79-97): '?...' carries ONLY the
-            # query; everything else goes through java.net.URI parts
-            bare = F.when(
-                src.startswith("?"), F.substr(src, F.lit(2))
-            )
-            parts = {
-                "scheme": F.parse_url(src, F.lit("PROTOCOL")),
-                "userinfo": F.parse_url(src, F.lit("USERINFO")),
-                "host": F.parse_url(src, F.lit("HOST")),
-                "authority": F.parse_url(src, F.lit("AUTHORITY")),
-                "path": F.parse_url(src, F.lit("PATH")),
-                "query": F.parse_url(src, F.lit("QUERY")),
-                "bare_query": bare,
-            }
-            entries = [
-                F.struct(F.lit(k).alias("k"), v.alias("v"))
-                for k, v in parts.items()
-            ]
-            return F.map_from_entries(
-                F.filter(
-                    F.array(*entries), lambda x: x.getField("v").isNotNull()
-                )
-            )
+            # bare query string (uri.go:79-97): '?...' carries ONLY
+            # the query (even when empty); everything else takes the
+            # single-regex RFC 3986 split
+            return F.when(
+                src.startswith("?"),
+                F.create_map(F.lit("bare_query"), F.substr(src, F.lit(2))),
+            ).otherwise(onepass_map(src, _URI_SPLIT, _URI_GROUPS))
 
         @F.pandas_udf(MAP_SS)
         def parse_uri(s: pd.Series) -> pd.Series:
@@ -784,10 +799,7 @@ class SyslogParserStage(ParserStage):
             rx = _RFC5424 if proto == "rfc5424" else _RFC3164
             groups = _RFC5424_GROUPS if proto == "rfc5424" else _RFC3164_GROUPS
             pattern_java = strip_group_names(rx.pattern)
-            return F.when(
-                src.rlike(pattern_java),
-                onepass_map(src, pattern_java, groups),
-            )
+            return onepass_map(src, pattern_java, groups)
 
         @F.pandas_udf(MAP_SS)
         def parse_syslog(s: pd.Series) -> pd.Series:
@@ -846,46 +858,54 @@ class SyslogParserStage(ParserStage):
         def g(k: str) -> Column:
             return F.try_element_at(raw, F.lit(k))
 
-        def e(k: str, v: Column) -> Column:
-            return F.struct(
-                F.lit(k).alias("k"), v.cast(T.StringType()).alias("v")
-            )
+        empty = F.create_map().cast(MAP_SS)
+
+        def opt(k: str, v: Column, cond: Column) -> Column:
+            # conditional singleton maps concatenated with map_concat
+            # stay inside whole-stage codegen (higher-order filter /
+            # map_from_entries fall back to interpreted eval)
+            return F.when(
+                cond, F.create_map(F.lit(k), v.cast(T.StringType()))
+            ).otherwise(empty)
+
+        def s(c: Column) -> Column:
+            return c.cast(T.StringType())
 
         pri = g("pri").cast(T.IntegerType())
         host = g("hostname")
-        entries = [
-            e("priority", pri),  # int cast strips leading zeros like str(int(x))
-            e("facility", F.floor(pri / F.lit(8)).cast(T.IntegerType())),
-            e("severity", pri % F.lit(8)),
-            e("hostname", F.when(host != "-", host)),
-            e("message", F.coalesce(g("message"), F.lit(""))),
-        ]
+        always = F.create_map(
+            # int round-trip strips leading zeros like str(int(x))
+            F.lit("priority"), s(pri),
+            F.lit("facility"), s(F.floor(pri / F.lit(8)).cast(T.IntegerType())),
+            F.lit("severity"), s(pri % F.lit(8)),
+            F.lit("message"), F.coalesce(g("message"), F.lit("")),
+        )
+        parts = [always, opt("hostname", host, host != "-")]
         if self.protocol == "rfc5424":
             ts = g("ts")
-            entries.append(e("timestamp", F.when(ts != "-", ts)))
-            entries.append(e("version", g("version")))
+            parts.append(opt("timestamp", ts, ts != "-"))
+            parts.append(opt("version", g("version"), F.lit(True)))
             for k in ("appname", "proc_id", "msg_id"):
                 v = g(k)
-                entries.append(e(k, F.when(v != "-", v)))
+                parts.append(opt(k, v, v != "-"))
             sd = g("sd")
-            entries.append(e("structured_data", F.when(sd != "-", sd)))
+            parts.append(opt("structured_data", sd, sd != "-"))
         else:
             # normalize the RFC3164 space-padded day ("Jan  2") so the
             # default TimeParser's "MMM d" layout parses it; the
             # attribute is deleted at postprocess anyway
-            entries.append(
-                e("timestamp", F.regexp_replace(g("ts"), r"\s+", " "))
+            parts.append(
+                opt(
+                    "timestamp",
+                    F.regexp_replace(g("ts"), r"\s+", " "),
+                    F.lit(True),
+                )
             )
-            entries.append(e("appname", g("tag")))
+            parts.append(opt("appname", g("tag"), F.lit(True)))
             # optional group: Java substitutes "" when non-participating
             pid = g("proc_id")
-            entries.append(e("proc_id", F.when(pid != "", pid)))
-        built = F.map_from_entries(
-            F.filter(
-                F.array(*entries), lambda x: x.getField("v").isNotNull()
-            )
-        )
-        return F.when(raw.isNotNull(), built)
+            parts.append(opt("proc_id", pid, pid != ""))
+        return F.when(raw.isNotNull(), F.map_concat(*parts))
 
     def postprocess(self, df: DataFrame, ok: Column, err: Column):
         # postprocess (syslog.go:252-269): attributes.severity (0-7)

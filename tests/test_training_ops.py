@@ -157,11 +157,16 @@ def test_lsh_recall_vs_brute_force(spark):
     q = emb.filter(F.col("vec_id") < 8)
     k = 5
     exact = similarity.brute_force_topk(q, emb, k=k)
-    approx = similarity.lsh_topk(q, emb, k=k, dim=64, n_planes=4, n_tables=8)
+    approx = similarity.lsh_topk(q, emb, k=k, dim=64, n_planes=3, n_tables=8)
     truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(truth & got) / len(truth)
-    assert recall >= 0.5, f"recall@{k} = {recall:.2f}"
+    # measured 0.925 at this config (3 planes x 8 tables; the synthetic
+    # table's neighbors are weakly separated, so shallow buckets + more
+    # tables is the right recall/cost point). A config regression that
+    # halves candidate overlap fails the 0.8 floor.
+    print(f"lsh recall@{k} = {recall:.3f}")
+    assert recall >= 0.8, f"recall@{k} = {recall:.2f}"
 
 
 def test_lsh_max_bucket_size_guard(spark, vectors):
