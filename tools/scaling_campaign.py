@@ -39,7 +39,10 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 from scaling_bench import run_once  # noqa: E402
 
-DEFAULT_QUIET_PROBE = 1.05  # s; verified-idle measurement, BENCH.md round 2
+#: run_once records the SUM of a before-child and an after-child
+#: probe, so the quiet baseline for the recorded value is 2 x 1.05s
+#: (the verified-idle single-probe measurement, BENCH.md round 2)
+DEFAULT_QUIET_PROBE = 2.10
 
 
 def main() -> None:
