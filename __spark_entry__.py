@@ -741,6 +741,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN (deterministically sampled centroids, nprobe cell
+    probing, exact re-rank) — fully replayable in SQL: centroids are
+    the first n_cells corpus vectors, so the oracle recomputes the
+    identical Voronoi assignment."""
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 8)
+    out = similarity.ivf_topk(queries, emb, k=5, n_cells=16, nprobe=4)
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rnk"), "neighbor_id"
+    )
+
+
 def q_streaming_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship pipeline through Structured Streaming
     (availableNow): stream the transcript table, parse + route per
@@ -866,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "ann_ivf": q_ann_ivf,
         "streaming_routed": q_streaming_routed,
     }
 
@@ -1299,6 +1313,60 @@ WITH q AS (
   SELECT DISTINCT qb.query_id, cb.neighbor_id
   FROM cb JOIN qb USING (bucket)
   WHERE cb.neighbor_id <> qb.query_id
+), s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS sim
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+), r AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM s
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= 5"""
+
+    # ---- ann_ivf: replay the IVF plan exactly — centroids are the
+    # first 16 corpus vectors, assignment is arg-max cosine with
+    # deterministic ties (sim DESC, cid DESC), probe the 4 nearest
+    # cells per query, exact cosine re-rank
+    sqls["ann_ivf"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+), c AS (
+  SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings
+), cent AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cent
+  FROM embeddings WHERE vec_id < 16
+), cscore AS (
+  SELECT neighbor_id, cid,
+         list_dot_product(cv, cent)
+           / (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(cent, cent))) AS csim
+  FROM c, cent
+), assign AS (
+  SELECT neighbor_id, cid FROM (
+    SELECT neighbor_id, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY csim DESC, cid DESC) AS rr
+    FROM cscore
+  ) WHERE rr = 1
+), qscore AS (
+  SELECT query_id, cid,
+         list_dot_product(qv, cent)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cent, cent))) AS qsim
+  FROM q, cent
+), probes AS (
+  SELECT query_id, cid FROM (
+    SELECT query_id, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY qsim DESC, cid DESC) AS rr
+    FROM qscore
+  ) WHERE rr <= 4
+), cand AS (
+  SELECT p.query_id, a.neighbor_id
+  FROM assign a JOIN probes p USING (cid)
+  WHERE p.query_id <> a.neighbor_id
 ), s AS (
   SELECT query_id, neighbor_id,
          list_dot_product(qv, cv)

@@ -202,6 +202,86 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into
+    ``n_cells`` Voronoi cells around deterministically SAMPLED
+    centroids (the first ``n_cells`` corpus vectors — sampling is a
+    standard IVF centroid init and keeps the whole plan replayable in
+    a SQL oracle), probe the ``nprobe`` cells nearest each query, and
+    exact-re-rank the candidates.
+
+    Scale shape (mirrors lsh_topk's discipline):
+      - centroids broadcast (n_cells x dim, tiny); cell assignment is
+        a map-side score + ONE groupBy(id) arg-max whose shuffle rows
+        are (id, cell, sim) triples — corpus vectors never move;
+      - the probe table (queries x nprobe) broadcasts into the
+        candidate join, so candidate generation is shuffle-free on
+        the corpus side;
+      - vectors re-attach once, keyed by candidate id.
+    Cells are Voronoi regions, so each corpus vector lives in EXACTLY
+    one cell — no cross-table dedup is needed (unlike LSH).
+    Recall is tuned by nprobe/n_cells; ties break deterministically
+    (max cell id on equal sim, min neighbor_id on equal rank)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    cent = corpus.filter(F.col(id_col) < n_cells).select(
+        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cent")
+    )
+    scored = c.crossJoin(F.broadcast(cent)).select(
+        "neighbor_id", "cid", cosine(F.col("cv"), F.col("cent")).alias("csim")
+    )
+    assign = (
+        scored.groupBy("neighbor_id")
+        .agg(F.max(F.struct(F.col("csim"), F.col("cid"))).alias("m"))
+        .select("neighbor_id", F.col("m.cid").alias("cid"))
+    )
+    qscore = q.crossJoin(F.broadcast(cent)).select(
+        "query_id", "cid", cosine(F.col("qv"), F.col("cent")).alias("qsim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cid").desc()
+    )
+    probes = (
+        qscore.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cid")
+    )
+    cand = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    rescored = (
+        cand.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     threshold: float = 0.92,

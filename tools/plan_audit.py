@@ -30,6 +30,7 @@ AUDIT = [
     "minhash_pairs",
     "embed_topk",
     "ann_lsh",
+    "ann_ivf",
     "token_stats",
 ]
 
