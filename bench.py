@@ -60,6 +60,7 @@ def main() -> None:
         "lang_id",
         "embed_topk",
         "ann_lsh",
+        "ann_ivf",
     ]
     qmap = E.queries()
     for name in bench_queries:
