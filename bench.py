@@ -47,6 +47,20 @@ def main() -> None:
     timings["flagship_parse_route_write"] = round(flagship_sec, 3)
     shutil.rmtree(out_dir, ignore_errors=True)
 
+    # second, plan-warm run: Catalyst + JIT/codegen compile of the
+    # 4-parser tree is ~2/3 of the cold wall at this SF (11.1s cold vs
+    # 3.6s warm measured) and amortizes to zero at cluster scale —
+    # BASELINE.md's "exclude session startup" principle, same as the
+    # scaling protocol's untimed warm-up. Cold stays the headline for
+    # round-over-round comparability; warm is the number that
+    # extrapolates.
+    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+    t0 = time.time()
+    run_flagship(spark, sf_dir, out_dir=out_dir)
+    warm_sec = time.time() - t0
+    timings["flagship_warm"] = round(warm_sec, 3)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
     bench_queries = [
         "regex_tomcat",
         "severity_http",
@@ -82,6 +96,7 @@ def main() -> None:
                 "sf": sf,
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
+                "turns_per_sec_warm": round(n_turns / warm_sec, 1),
                 "routed_counts": routed,
                 "cpus": cpus,
             }
