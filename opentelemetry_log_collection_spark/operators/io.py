@@ -170,3 +170,149 @@ class DropSink(Sink):
 
     def write(self, df: DataFrame, base_dir: str) -> None:
         return None
+
+
+#: reference encoding names -> JVM charset for F.decode
+#: (operator/helper/encoding.go:74-95). 'nop' passes bytes through
+#: 1:1 — ISO-8859-1 is the identity byte<->char map.
+_ENCODINGS = {
+    "utf8": "UTF-8", "utf-8": "UTF-8",
+    "ascii": "US-ASCII", "us-ascii": "US-ASCII",
+    "utf16": "UTF-16", "utf-16": "UTF-16",
+    "utf16le": "UTF-16LE", "utf-16le": "UTF-16LE",
+    "utf16be": "UTF-16BE", "utf-16be": "UTF-16BE",
+    "nop": "ISO-8859-1", "latin1": "ISO-8859-1", "iso-8859-1": "ISO-8859-1",
+}
+
+
+@register("file_input")
+class FileInputStage(Stage):
+    """Real-file source: binaryFile scan -> charset decode -> line
+    split -> optional multiline SPLITTER grouping, all JVM-side
+    (operator/input/file/file.go + operator/helper/multiline.go +
+    encoding.go:74-95).
+
+    Multiline uses the reference's byte-stream SPLITTER semantics, not
+    the recombine operator's: with ``line_start_pattern`` every line
+    up to the next match joins the current entry, so lines BEFORE the
+    first match form ONE leading entry (a bufio splitter emits the
+    leading chunk whole, where the recombine OPERATOR flushes
+    pre-boundary entries alone — recombine.go:236-242 vs
+    multiline.go). ``line_end_pattern`` closes an entry at each match.
+
+    Scale shape: one window per FILE (files are independent units,
+    like the reference's per-file readers), so grouping parallelizes
+    across files; a single multi-GB file serializes its own window —
+    split such inputs upstream or use the recombine operator over a
+    pre-split table."""
+
+    type_name = "file_input"
+
+    def __init__(
+        self,
+        include: str,
+        encoding: str = "utf8",
+        multiline: dict | None = None,
+        include_file_name: bool = True,
+        include_file_path: bool = False,
+        attributes: dict | None = None,
+        resource: dict | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        if encoding.lower() not in _ENCODINGS:
+            raise ValueError(f"unsupported encoding {encoding!r}")
+        self.include = include
+        self.charset = _ENCODINGS[encoding.lower()]
+        multiline = multiline or {}
+        self.line_start = multiline.get("line_start_pattern")
+        self.line_end = multiline.get("line_end_pattern")
+        if self.line_start and self.line_end:
+            raise ValueError(
+                "at most one of line_start_pattern / line_end_pattern"
+            )
+        self.include_file_name = include_file_name
+        self.include_file_path = include_file_path
+        self.attributes = attributes
+        self.resource = resource
+
+    def generate(self, spark: SparkSession) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        raw = spark.read.format("binaryFile").load(self.include)
+        text = F.decode(F.col("content"), self.charset)
+        arr = F.split(text, "\r?\n", -1)
+        # a trailing newline yields one empty final element, which is
+        # not a line (bufio emits no empty trailing token)
+        arr = F.when(
+            (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
+            F.slice(arr, 1, F.size(arr) - 1),
+        ).otherwise(arr)
+        lines = raw.select(
+            F.col("path"), F.posexplode(arr).alias("line_no", "line")
+        )
+        if self.line_start or self.line_end:
+            m = F.col("line").rlike(self.line_start or self.line_end)
+            w = Window.partitionBy("path").orderBy("line_no")
+            if self.line_start:
+                # a matching line STARTS a new entry; count inclusive
+                grp = F.sum(m.cast(T.IntegerType())).over(
+                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+                )
+            else:
+                # a matching line ENDS the entry; count strictly before
+                grp = F.coalesce(
+                    F.sum(m.cast(T.IntegerType())).over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                )
+            lines = (
+                lines.withColumn("_grp", grp)
+                .groupBy("path", "_grp")
+                .agg(
+                    F.min("line_no").alias("line_no"),
+                    F.array_join(
+                        F.transform(
+                            F.array_sort(
+                                F.collect_list(
+                                    F.struct(
+                                        F.col("line_no").alias("o"),
+                                        F.col("line").alias("v"),
+                                    )
+                                )
+                            ),
+                            lambda x: x.getField("v"),
+                        ),
+                        "\n",
+                    ).alias("line"),
+                )
+                .drop("_grp")
+            )
+        df = to_entries(
+            lines.select(
+                F.col("path").alias("conv_id"),
+                F.col("line_no").cast(T.IntegerType()).alias("turn_idx"),
+                F.lit("").alias("role"),
+                F.col("line").alias("text"),
+                F.lit("").alias("tool"),
+                F.lit(None).cast(T.TimestampType()).alias("ts"),
+            )
+        )
+        file_attrs = []
+        if self.include_file_name:
+            file_attrs += [
+                F.lit("log.file.name"),
+                F.element_at(F.split(F.col("conv_id"), "/"), -1),
+            ]
+        if self.include_file_path:
+            file_attrs += [F.lit("log.file.path"), F.col("conv_id")]
+        if file_attrs:
+            updates = Field.parse("attributes").set_map(
+                F.create_map(*file_attrs)
+            )
+            df = apply_updates(df, updates)
+        return stamp(df, self.attributes, self.resource)
+
+    def apply(self, df: DataFrame) -> DataFrame:  # source: passthrough
+        return df

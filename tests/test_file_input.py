@@ -1,0 +1,96 @@
+"""file_input source: charset decode + multiline splitter semantics
+(operator/input/file + helper/multiline.go + encoding.go fixtures,
+written by the tests themselves — real files, real bytes)."""
+
+from __future__ import annotations
+
+import pytest
+
+from opentelemetry_log_collection_spark.operators.io import FileInputStage
+
+
+def rows(spark, stage):
+    out = stage.generate(spark).orderBy("conv_id", "turn_idx").collect()
+    return [(r["turn_idx"], r["text"], dict(r["attributes"] or {})) for r in out]
+
+
+def test_utf8_lines_and_file_attrs(spark, tmp_path):
+    (tmp_path / "a.log").write_text("one\ntwo\nthree\n", encoding="utf-8")
+    got = rows(spark, FileInputStage(include=str(tmp_path / "a.log")))
+    assert [(i, t) for i, t, _ in got] == [(0, "one"), (1, "two"), (2, "three")]
+    assert got[0][2]["log.file.name"] == "a.log"
+
+
+def test_utf16le_decode(spark, tmp_path):
+    (tmp_path / "u16.log").write_bytes("héllo\nwörld\n".encode("utf-16-le"))
+    got = rows(spark, FileInputStage(include=str(tmp_path / "u16.log"),
+                                     encoding="utf16le"))
+    assert [t for _, t, _ in got] == ["héllo", "wörld"]
+
+
+def test_nop_encoding_preserves_bytes(spark, tmp_path):
+    # 0xFF is invalid UTF-8; nop (latin-1) must pass it through 1:1
+    (tmp_path / "raw.log").write_bytes(b"a\xffb\nplain\n")
+    got = rows(spark, FileInputStage(include=str(tmp_path / "raw.log"),
+                                     encoding="nop"))
+    assert got[0][1] == "a\xffb"
+    assert got[1][1] == "plain"
+
+
+def test_crlf_and_no_trailing_newline(spark, tmp_path):
+    (tmp_path / "c.log").write_bytes(b"x\r\ny\r\nz")  # CRLF, no final \n
+    got = rows(spark, FileInputStage(include=str(tmp_path / "c.log")))
+    assert [t for _, t, _ in got] == ["x", "y", "z"]
+
+
+def test_multiline_line_start_groups_leading_chunk(spark, tmp_path):
+    """SPLITTER semantics: lines before the first start-pattern match
+    form ONE leading entry (unlike the recombine OPERATOR, which
+    flushes pre-boundary entries alone — multiline.go vs
+    recombine.go:236-242)."""
+    (tmp_path / "ml.log").write_text(
+        "junk1\njunk2\n"
+        "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2\n"
+        "2024-01-01 INFO ok\n",
+        encoding="utf-8",
+    )
+    got = rows(spark, FileInputStage(
+        include=str(tmp_path / "ml.log"),
+        multiline={"line_start_pattern": r"^\d{4}-\d{2}-\d{2} "},
+    ))
+    assert [t for _, t, _ in got] == [
+        "junk1\njunk2",
+        "2024-01-01 ERROR boom\n  at Foo.java:1\n  at Bar.java:2",
+        "2024-01-01 INFO ok",
+    ]
+    assert [i for i, _, _ in got] == [0, 2, 5]  # first line_no per entry
+
+
+def test_multiline_line_end_closes_entry(spark, tmp_path):
+    (tmp_path / "me.log").write_text(
+        "part a\npart b END\nsolo END\ntrailing\n", encoding="utf-8"
+    )
+    got = rows(spark, FileInputStage(
+        include=str(tmp_path / "me.log"),
+        multiline={"line_end_pattern": r"END$"},
+    ))
+    assert [t for _, t, _ in got] == [
+        "part a\npart b END", "solo END", "trailing",
+    ]
+
+
+def test_glob_many_files_parallel_units(spark, tmp_path):
+    for i in range(3):
+        (tmp_path / f"f{i}.log").write_text(f"l{i}a\nl{i}b\n", encoding="utf-8")
+    got = rows(spark, FileInputStage(include=str(tmp_path / "*.log")))
+    assert len(got) == 6
+    names = {a["log.file.name"] for _, _, a in got}
+    assert names == {"f0.log", "f1.log", "f2.log"}
+
+
+def test_unknown_encoding_rejected():
+    with pytest.raises(ValueError):
+        FileInputStage(include="/tmp/x", encoding="big99")
+    with pytest.raises(ValueError):
+        FileInputStage(include="/tmp/x", multiline={
+            "line_start_pattern": "a", "line_end_pattern": "b"})
