@@ -210,7 +210,7 @@ class FileInputStage(Stage):
 
     def __init__(
         self,
-        include: str,
+        include: str | list[str],
         encoding: str = "utf8",
         multiline: dict | None = None,
         include_file_name: bool = True,
@@ -222,7 +222,9 @@ class FileInputStage(Stage):
         super().__init__(**kw)
         if encoding.lower() not in _ENCODINGS:
             raise ValueError(f"unsupported encoding {encoding!r}")
-        self.include = include
+        # reference configs spell include as a LIST of globs
+        # (operator/input/file/testdata/include_multi.yaml)
+        self.include = [include] if isinstance(include, str) else list(include)
         self.charset = _ENCODINGS[encoding.lower()]
         multiline = multiline or {}
         self.line_start = multiline.get("line_start_pattern")

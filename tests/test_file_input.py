@@ -94,3 +94,11 @@ def test_unknown_encoding_rejected():
     with pytest.raises(ValueError):
         FileInputStage(include="/tmp/x", multiline={
             "line_start_pattern": "a", "line_end_pattern": "b"})
+
+
+def test_include_list_of_globs(spark, tmp_path):
+    (tmp_path / "x.log").write_text("from-x\n", encoding="utf-8")
+    (tmp_path / "y.txt").write_text("from-y\n", encoding="utf-8")
+    got = rows(spark, FileInputStage(
+        include=[str(tmp_path / "*.log"), str(tmp_path / "*.txt")]))
+    assert sorted(t for _, t, _ in got) == ["from-x", "from-y"]

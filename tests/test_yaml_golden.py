@@ -202,3 +202,11 @@ def test_golden_filter_expr_runs(spark):
                   if_expr='body startsWith "drop"').apply(df)
     out = s.apply(df)
     assert [r["text"] for r in collected(out, "text")] == ["keep me"]
+
+
+def test_golden_file_input_multiline():
+    s = build_stage(load("file_input_multiline.yaml"))
+    assert s.include == ["one.log"]
+    assert s.charset == "UTF-16LE"
+    assert s.line_start == "Start" and s.line_end is None
+    assert s.include_file_name
