@@ -120,8 +120,14 @@ def onepass_map(src: Column, pattern_java: str, groups: dict[str, int]) -> Colum
         slow_entries.append(F.lit(name))
         slow_entries.append(F.regexp_extract(src, pattern_java, idx))
     slow = F.when(src.rlike(pattern_java), F.create_map(*slow_entries))
+    # spoof guard: a NON-matching line that itself begins with the
+    # marker would leave blob == src, pass the startswith check, and
+    # (with exactly g-1 \x01 bytes) fast-parse garbage. Any source row
+    # already starting with the marker takes the rlike-guarded slow
+    # path, where a non-match correctly nulls out.
     return (
-        F.when(~F.startswith(blob, F.lit(_MARK)), F.lit(None).cast(MAP_SS))
+        F.when(F.startswith(src, F.lit(_MARK)), slow)
+        .when(~F.startswith(blob, F.lit(_MARK)), F.lit(None).cast(MAP_SS))
         .when(F.size(parts) == g, fast)
         .otherwise(slow)
     )
@@ -566,9 +572,16 @@ class UriParserStage(ParserStage):
         on '&', empty tokens dropped, bare 'k' means k=''."""
 
         def dec(c: Column) -> Column:
-            # urllib leaves invalid %-sequences as-is; URLDecoder
-            # throws -> try + fall back to the raw text
-            return F.coalesce(F.try_url_decode(c), c)
+            # urllib PARTIALLY decodes mixed tokens (valid escapes
+            # decoded, invalid %-sequences kept verbatim), while
+            # URLDecoder throws on the first invalid escape. Pre-escape
+            # every % NOT followed by two hex digits to %25 — the
+            # decode then round-trips it back to a literal '%' and
+            # still decodes the valid escapes, matching urllib on
+            # tokens like 'k=%zz%20'. try_ + coalesce stays as a belt
+            # for non-UTF8 decode results.
+            esc = F.regexp_replace(c, r"%(?![0-9A-Fa-f]{2})", "%25")
+            return F.coalesce(F.try_url_decode(esc), c)
 
         toks = F.filter(F.split(qs, "&", -1), lambda t: t != F.lit(""))
         pairs = F.transform(
@@ -630,6 +643,17 @@ class UriParserStage(ParserStage):
             F.substring(auth, F.lit(1), F.length(auth) - F.length(hostpart) - 1),
         ).otherwise(F.lit(""))
         port = F.regexp_extract(hostpart, r":([0-9]+)$", 1)
+        # urllib parity on port edges: int round-trip normalizes
+        # leading zeros (:0080 -> 80), port 0 is falsy and omitted,
+        # and out-of-range (>65535 or int-overflow) is a PARSE ERROR
+        # (u.port raises ValueError -> pandas path nulls the row)
+        port_i = F.when(port != "", port.try_cast(T.IntegerType()))
+        bad_port = (port != "") & (
+            port_i.isNull() | (port_i > 65535)
+        )
+        port_out = F.when(
+            port_i.isNotNull() & (port_i > 0), port_i.cast(T.StringType())
+        ).otherwise(F.lit(""))
         hostnoport = F.when(
             port != "",
             F.substring(
@@ -643,14 +667,14 @@ class UriParserStage(ParserStage):
             opt("scheme", F.lower(g("scheme")), g("scheme") != ""),
             opt("user", user, user != ""),
             opt("host", host, host != ""),
-            opt("port", port, port != ""),
+            opt("port", port_out, port_out != ""),
             opt("path", g("path"), g("path") != ""),
             opt("query", self._query_json(g("query")), g("query") != ""),
         )
         built = F.when(
             bare.isNotNull(),
             F.create_map(F.lit("query"), self._query_json(bare)),
-        ).otherwise(F.when(F.size(full) > 0, full))
+        ).otherwise(F.when(~bad_port & (F.size(full) > 0), full))
         return F.when(raw.isNotNull(), built)
 
     def parse(self, src: Column) -> Column:
@@ -684,6 +708,10 @@ class UriParserStage(ParserStage):
                     if x.startswith("?"):
                         return {"query": qmap(x[1:])}
                     u = urlsplit(x)
+                    # u.port raises ValueError for out-of-range ports
+                    # (e.g. :99999) — inside the try so a bad port is
+                    # a parse error (null row), not a task failure
+                    port = u.port
                 except ValueError:
                     return None
                 out = {}
@@ -694,8 +722,8 @@ class UriParserStage(ParserStage):
                     out["user"] = u.username
                 if u.hostname:
                     out["host"] = u.hostname
-                if u.port:
-                    out["port"] = str(u.port)
+                if port:
+                    out["port"] = str(port)
                 if u.path:
                     out["path"] = u.path
                 if u.query:

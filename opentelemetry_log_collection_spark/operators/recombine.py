@@ -179,13 +179,37 @@ class RecombineStage(Stage):
         # nondeterministic, and three consumers below (totals, starts,
         # the row side) re-evaluate this subtree independently before
         # joining back together — a row could join a `_start` computed
-        # under a DIFFERENT tie permutation. `_tie` (assigned before
-        # the range exchange, stable given Spark's own deterministic-
-        # replay requirement on upstream partitions) makes the order
-        # total, so every re-evaluation assigns identical positions.
+        # under a DIFFERENT tie permutation. Two defenses:
+        #   1. `_tie` is derived from ROW CONTENT (xxhash64 over every
+        #      column, map-typed columns via to_json since hash exprs
+        #      reject MapType), not monotonically_increasing_id — an
+        #      id depends on upstream per-partition row order, which
+        #      does NOT replay identically downstream of a shuffle
+        #      (reduce-side fetch order is nondeterministic). Content
+        #      hashing makes the order total except for bit-identical
+        #      rows, which are interchangeable by definition.
+        #   2. the tagged frame is persisted before the fan-out (see
+        #      below) so all three consumers read ONE materialization
+        #      — this also covers repartitionByRange's order-sensitive
+        #      boundary sampling.
         ordc = [F.col(c) for c in order]
+
+        def _hashable(f: T.StructField) -> Column:
+            def has_map(dt: T.DataType) -> bool:
+                if isinstance(dt, T.MapType):
+                    return True
+                if isinstance(dt, T.ArrayType):
+                    return has_map(dt.elementType)
+                if isinstance(dt, T.StructType):
+                    return any(has_map(x.dataType) for x in dt.fields)
+                return False
+
+            c = F.col(f.name)
+            return F.to_json(c) if has_map(f.dataType) else c
+
+        tie = F.xxhash64(*[_hashable(f) for f in df.schema.fields])
         d = (
-            df.withColumn("_tie", F.monotonically_increasing_id())
+            df.withColumn("_tie", tie)
             .repartitionByRange(*ordc)
             .withColumn("_bkt", F.spark_partition_id())
         )
@@ -203,6 +227,15 @@ class RecombineStage(Stage):
         d = d.withColumn("_lcum", lcum).withColumn(
             "_lrn", F.row_number().over(wloc)
         )
+        # ONE materialization feeds all three consumers (totals, the
+        # starts aggregate, and the row side). MEMORY_AND_DISK: at
+        # scale the default bucket is the no-source-identifier subset,
+        # typically a small fraction of the stream; a partition lost
+        # and recomputed on a real cluster replays the content-derived
+        # tie order, which is stable by construction (defense 1).
+        from pyspark import StorageLevel
+
+        d = d.persist(StorageLevel.MEMORY_AND_DISK)
         totals = d.groupBy("_bkt").agg(
             F.sum(m).alias("_m"), F.count(F.lit(1)).alias("_n")
         )

@@ -156,6 +156,16 @@ def streaming_recombine(
                 (conv_id, seg_idxs[0], combine_with.join(seg_texts), len(seg_texts))
             )
 
+        def emit_singletons(seg_idxs: list, seg_texts: list) -> None:
+            # bulk path for runs of flush-alone rows (is_first mode,
+            # recombine.go:236-242): one C-level extend instead of a
+            # Python call per row — the all-singletons degenerate case
+            # is O(rows) output either way, but this removes the
+            # per-row interpreter frame
+            out_rows.extend(
+                (conv_id, i, t, 1) for i, t in zip(seg_idxs, seg_texts)
+            )
+
         # vectorized state machine: columns convert to lists once
         # (C-level), boundaries come from one boolean scan, and all
         # batch construction is O(groups) slicing — no per-row pandas
@@ -207,11 +217,9 @@ def streaming_recombine(
                 if len(open_texts) >= max_batch_size:
                     emit(open_idxs, open_texts)
                     open_idxs, open_texts = [], []
-                for i in range(take, g0_end):
-                    emit([idxs[i]], [txts[i]])
+                emit_singletons(idxs[take:g0_end], txts[take:g0_end])
             else:
-                for i in range(g0_end):
-                    emit([idxs[i]], [txts[i]])
+                emit_singletons(idxs[:g0_end], txts[:g0_end])
 
             for gi, s0 in enumerate(starts):
                 if open_texts:
@@ -223,8 +231,8 @@ def streaming_recombine(
                 if size >= max_batch_size:
                     emit(idxs[s0 : s0 + max_batch_size],
                          txts[s0 : s0 + max_batch_size])
-                    for i in range(s0 + max_batch_size, e0):
-                        emit([idxs[i]], [txts[i]])
+                    emit_singletons(idxs[s0 + max_batch_size : e0],
+                                    txts[s0 + max_batch_size : e0])
                 elif gi == len(starts) - 1:
                     # trailing partial batch stays open in state
                     open_idxs = idxs[s0:e0]
@@ -280,19 +288,30 @@ def streaming_flagship(
     tagged = router().tag(entries).withColumn("sink", route_name_col())
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df = batch_df.persist()
+        # foreachBatch is AT-LEAST-ONCE: a microbatch retried after a
+        # partial failure re-runs this function with the SAME batch_id.
+        # Plain append would duplicate rows, so both sinks partition by
+        # batch_id and dynamically OVERWRITE only that batch's
+        # partitions — a retry replaces its own partial output exactly,
+        # making the sink effectively exactly-once. Readers either
+        # select explicit columns (the data sink) or sum cnt across
+        # batch_ids (the counts sink), so the extra partition column is
+        # invisible to them.
+        batch_df = batch_df.withColumn("batch_id", F.lit(batch_id)).persist()
         try:
             (
                 batch_df.drop(ROUTE_COL)
-                .write.mode("append")
-                .partitionBy("sink")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id", "sink")
                 .parquet(f"{out_dir}/data")
             )
             (
-                batch_df.groupBy("sink")
+                batch_df.groupBy("batch_id", "sink")
                 .agg(F.count(F.lit(1)).alias("cnt"))
-                .withColumn("batch_id", F.lit(batch_id))
-                .write.mode("append")
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("batch_id")
                 .parquet(f"{out_dir}/counts")
             )
         finally:

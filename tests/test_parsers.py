@@ -336,6 +336,17 @@ _URI_CORPUS = [
     "?",
     "https://h/p?a=%20b+c",
     "https://h/esc?k=a%2Fb",
+    # mixed valid+invalid %-escapes: urllib partially decodes (valid
+    # escapes decoded, lone/invalid % kept verbatim)
+    "/p?k=%zz%20",
+    "/p?bad=100%&ok=a%2Fb",
+    "/p?trail=%",
+    # port edges: leading zeros normalize, port 0 omitted,
+    # out-of-range is a parse error on both paths
+    "http://h:0080/x",
+    "http://h:0/x",
+    "http://h:99999/x",
+    "http://h:123456789012345678901234567890/x",
 ]
 
 
