@@ -2,12 +2,27 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
 Prints ONE JSON line:
-  {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ..., "turns_per_sec": ...}
+  {"metric": "...", "value": <turns/sec>, "unit": "turns/sec",
+   "queries": {...per-query MEDIAN sec...}, "queries_min": {...},
+   "queries_reps": {...all walls...}, "probes": [...], ...}
+
+Noise robustness (VERDICT r3 "what's wrong" #3): this sandbox is a
+guest on a contended host where identical runs swing 3-4x. A single
+cold run records noise as signal, so every query now runs REPS times
+(default 3) and the artifact reports the median (headline `queries`),
+the min (contention-floor estimate), and every raw wall. A
+single-thread CPU probe (~1.05s on an idle box) runs before/mid/after
+so a reader can classify a slow artifact as host contention without
+consulting BENCH.md: probes >> 1.05s means the host was busy.
 
 The flagship query is the north-rule pipeline: transcripts -> parse
 (4 shapes) -> enrich -> route -> per-sink parquet writes + aggregate
-counts; its turns/sec is the BASELINE.json headline metric.
+counts; its turns/sec is the BASELINE.json headline metric. The first
+flagship execution in the session is inherently unrepeatable (Catalyst
+plan + JIT compile, ~2/3 of cold wall at this SF, amortizes to zero at
+cluster scale) — it stays the single-shot `flagship_parse_route_write`
+for round-over-round comparability, and the repeated warm runs give
+`flagship_warm` its median like every other query.
 """
 
 from __future__ import annotations
@@ -15,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import statistics
 import sys
 import tempfile
 import time
@@ -27,6 +43,19 @@ import __spark_entry__ as E  # noqa: E402
 from opentelemetry_log_collection_spark.flagship import run_flagship  # noqa: E402
 from opentelemetry_log_collection_spark.session import get_spark  # noqa: E402
 
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def cpu_probe() -> float:
+    """Single-thread host-speed probe (same loop as
+    tools/scaling_bench.py): ~1.05s when the host is idle; scales up
+    linearly with host contention, classifying noisy reps."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(12_000_000):
+        x += i ^ (i >> 3)
+    return time.perf_counter() - t0
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,32 +63,36 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench")
 
+    probes = [cpu_probe()]
+
     # warm the JVM + parquet footers so timings measure the pipeline
     n_turns = E.q_transcripts(spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    timings: dict[str, float] = {}  # median per query (headline shape)
+    mins: dict[str, float] = {}
+    reps_raw: dict[str, list[float]] = {}
 
-    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
-    t0 = time.time()
-    counts = run_flagship(spark, sf_dir, out_dir=out_dir)
-    routed = {r["sink"]: r["cnt"] for r in counts.collect()}
-    flagship_sec = time.time() - t0
+    def flagship_once() -> tuple[float, dict]:
+        out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
+        t0 = time.time()
+        counts = run_flagship(spark, sf_dir, out_dir=out_dir)
+        routed = {r["sink"]: r["cnt"] for r in counts.collect()}
+        wall = time.time() - t0
+        shutil.rmtree(out_dir, ignore_errors=True)
+        return wall, routed
+
+    # single-shot cold (plan+JIT compile included; unrepeatable in-process)
+    flagship_sec, routed = flagship_once()
     timings["flagship_parse_route_write"] = round(flagship_sec, 3)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    mins["flagship_parse_route_write"] = timings["flagship_parse_route_write"]
+    reps_raw["flagship_parse_route_write"] = [timings["flagship_parse_route_write"]]
 
-    # second, plan-warm run: Catalyst + JIT/codegen compile of the
-    # 4-parser tree is ~2/3 of the cold wall at this SF (11.1s cold vs
-    # 3.6s warm measured) and amortizes to zero at cluster scale —
-    # BASELINE.md's "exclude session startup" principle, same as the
-    # scaling protocol's untimed warm-up. Cold stays the headline for
-    # round-over-round comparability; warm is the number that
-    # extrapolates.
-    out_dir = tempfile.mkdtemp(prefix="bench_sinks_")
-    t0 = time.time()
-    run_flagship(spark, sf_dir, out_dir=out_dir)
-    warm_sec = time.time() - t0
-    timings["flagship_warm"] = round(warm_sec, 3)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    warm_walls = [round(flagship_once()[0], 3) for _ in range(REPS)]
+    timings["flagship_warm"] = round(statistics.median(warm_walls), 3)
+    mins["flagship_warm"] = min(warm_walls)
+    reps_raw["flagship_warm"] = warm_walls
+
+    probes.append(cpu_probe())
 
     bench_queries = [
         "regex_tomcat",
@@ -78,13 +111,21 @@ def main() -> None:
     ]
     qmap = E.queries()
     for name in bench_queries:
-        t0 = time.time()
-        df = qmap[name](spark, sf_dir)
-        df.select(F.count(F.lit(1))).collect()
-        timings[name] = round(time.time() - t0, 3)
+        walls = []
+        for _ in range(REPS):
+            t0 = time.time()
+            df = qmap[name](spark, sf_dir)
+            df.select(F.count(F.lit(1))).collect()
+            walls.append(round(time.time() - t0, 3))
+        reps_raw[name] = walls
+        timings[name] = round(statistics.median(walls), 3)
+        mins[name] = min(walls)
+
+    probes.append(cpu_probe())
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / flagship_sec, 1)
+    warm_med = timings["flagship_warm"]
     print(
         json.dumps(
             {
@@ -92,11 +133,16 @@ def main() -> None:
                 "value": turns_per_sec,
                 "unit": "turns/sec",
                 "queries": timings,
+                "queries_min": mins,
+                "queries_reps": reps_raw,
+                "probes": [round(p, 3) for p in probes],
+                "probe_idle_ref": 1.05,
+                "reps": REPS,
                 "total_sec": total,
                 "sf": sf,
                 "n_turns": n_turns,
                 "turns_per_sec": turns_per_sec,
-                "turns_per_sec_warm": round(n_turns / warm_sec, 1),
+                "turns_per_sec_warm": round(n_turns / warm_med, 1),
                 "routed_counts": routed,
                 "cpus": cpus,
             }

@@ -111,20 +111,24 @@ def lsh_candidate_pairs(
     sig: DataFrame, seeds: int = MINHASH_SEEDS, band_size: int = BAND_SIZE
 ) -> DataFrame:
     """Band the signature and self-join per band: docs agreeing on ALL
-    rows of any band become candidate pairs (doc_a < doc_b). The join
-    key is the concatenated band slice — only (doc_id, band, key)
-    tuples shuffle."""
+    rows of any band become candidate pairs (doc_a < doc_b).
+
+    The join key is ONE BIGINT: xxhash64(band_number, band's mh
+    columns). Folding the band number into the hash collapses the old
+    (band, band_key) composite into a single 8-byte key, so only
+    (doc_id, key) = 16 bytes per (doc, band) ride the self-join — vs
+    ~256 bytes/row when the key was band_size concatenated md5 hex
+    strings (at the production 128/16 config: 16 such strings per
+    doc). Semantics are identical modulo 64-bit hash collisions
+    (~n^2/2^65 for n (doc,band) rows — vanishing, and any spurious
+    candidate still gets exact-Jaccard verified downstream)."""
     n_bands = seeds // band_size
     bands = []
     for b in range(n_bands):
-        key = F.concat_ws(
-            ",", *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
+        key = F.xxhash64(
+            F.lit(b), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
         )
-        bands.append(
-            sig.select(
-                F.col("doc_id"), F.lit(b).alias("band"), key.alias("band_key")
-            )
-        )
+        bands.append(sig.select(F.col("doc_id"), key.alias("band_key")))
     banded = bands[0]
     for extra in bands[1:]:
         banded = banded.unionByName(extra)
@@ -133,8 +137,7 @@ def lsh_candidate_pairs(
     pairs = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
