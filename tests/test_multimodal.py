@@ -42,6 +42,61 @@ def test_extract_features_strict_raises(spark, assets):
         extract_features(assets.limit(1), strict=True).collect()
 
 
+def test_wav_decode_real(spark):
+    """The audio decoder is REAL: it parses an actual RIFF/WAVE
+    container and recovers physical statistics that match the
+    generator's closed-form values exactly."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        WAV_N,
+        WAV_RATE,
+        audio_features,
+        decode_wav,
+        synthesize_wav,
+        synthesize_wav_assets,
+        wav_amplitude,
+    )
+
+    # direct decode, no Spark: container round-trip
+    d = decode_wav(synthesize_wav(7))
+    assert d["sample_rate"] == WAV_RATE
+    assert d["n_channels"] == 1
+    assert d["n_samples"] == WAV_N
+    for j in range(10):
+        assert d[f"rms_{j}"] == wav_amplitude(7, j) / 32768.0
+    assert d["peak"] == max(wav_amplitude(7, j) for j in range(10)) / 32768.0
+
+    # through the mapInPandas op
+    rows = {r["asset_id"]: r for r in audio_features(
+        synthesize_wav_assets(spark, n=12)).collect()}
+    assert len(rows) == 12
+    for i, r in rows.items():
+        assert r["rms_3"] == wav_amplitude(i, 3) / 32768.0
+        assert r["duration_s"] == WAV_N / float(WAV_RATE)
+
+
+def test_wav_strict_mode_decodes_audio(spark):
+    """strict=True now genuinely decodes audio (one real modality per
+    the round-3 brief) and still raises for image/video."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        synthesize_wav_assets,
+    )
+
+    out = extract_features(synthesize_wav_assets(spark, n=6), strict=True)
+    rows = out.collect()
+    assert len(rows) == 6
+    assert all(len(r["feature"]) == FEATURE_DIM for r in rows)
+
+
+def test_wav_strict_malformed_is_parse_error(spark):
+    """An audio-kind payload that is not a WAV raises in strict mode
+    (parse error), falls back to the digest fake otherwise."""
+    bad = synthesize_assets(spark, n=3).filter(F.col("kind") == "audio")
+    ok = extract_features(bad, strict=False).collect()
+    assert all(len(r["feature"]) == FEATURE_DIM for r in ok)
+    with pytest.raises(Exception, match="malformed WAV"):
+        extract_features(bad, strict=True).collect()
+
+
 def test_sample_frames_only_video(spark, assets):
     frames = sample_frames(assets).collect()
     video_ids = {
