@@ -200,11 +200,21 @@ class FileInputStage(Stage):
     pre-boundary entries alone — recombine.go:236-242 vs
     multiline.go). ``line_end_pattern`` closes an entry at each match.
 
-    Scale shape: one window per FILE (files are independent units,
-    like the reference's per-file readers), so grouping parallelizes
-    across files; a single multi-GB file serializes its own window —
-    split such inputs upstream or use the recombine operator over a
-    pre-split table."""
+    Scale shape, two modes:
+      - default (whole-file): one window per FILE — files parallelize
+        against each other, a single multi-GB file serializes.
+      - ``chunk_bytes`` set (byte-safe charsets only): files split
+        into newline-aligned byte ranges (operators/file_chunks.py),
+        so ONE huge file fans out across the cluster and multiline
+        grouping runs via a prefix sum with no per-file window at all.
+    ``checkpoint_dir`` enables fingerprint+offset resume
+    (fingerprint.go:24-75, file.go:298-361): re-runs skip consumed
+    files, tail grown ones (line numbers continue), and re-read
+    rotated/truncated ones; call ``commit(spark)`` after the sink
+    write succeeds. One documented divergence: a final line with no
+    trailing newline is emitted in this run (batch semantics can't
+    hold it open the way the reference's buffer does), so bytes later
+    appended to that same line are discarded on resume."""
 
     type_name = "file_input"
 
@@ -217,6 +227,8 @@ class FileInputStage(Stage):
         include_file_path: bool = False,
         attributes: dict | None = None,
         resource: dict | None = None,
+        chunk_bytes: int | None = None,
+        checkpoint_dir: str | None = None,
         **kw,
     ):
         super().__init__(**kw)
@@ -237,9 +249,65 @@ class FileInputStage(Stage):
         self.include_file_path = include_file_path
         self.attributes = attributes
         self.resource = resource
+        from .file_chunks import BYTE_SAFE_CHARSETS
+
+        if (chunk_bytes or checkpoint_dir) and (
+            self.charset not in BYTE_SAFE_CHARSETS
+        ):
+            raise ValueError(
+                "chunk_bytes/checkpoint_dir require a charset where "
+                "'\\n' is unambiguous (utf8/ascii/nop); "
+                f"got {self.charset}"
+            )
+        self.chunk_bytes = chunk_bytes
+        self.checkpoint_dir = checkpoint_dir
+        self._last_plans: list[dict] = []
+
+    # ---- chunked / resumable path ------------------------------------
+
+    def _generate_chunked(self, spark: SparkSession) -> DataFrame:
+        from . import file_chunks as fc
+
+        ledger = (
+            fc.OffsetLedger(self.checkpoint_dir).load()
+            if self.checkpoint_dir
+            else None
+        )
+        plans = fc.plan_files(self.include, ledger)
+        self._last_plans = plans
+        chunk = self.chunk_bytes or (64 << 20)
+        chunks = fc.plan_chunks(plans, chunk)
+        raw = fc.chunked_lines(spark, chunks, self.charset)
+        return fc.number_and_group(raw, self.line_start, self.line_end)
+
+    def commit(self, spark: SparkSession) -> None:
+        """Advance the offset ledger past everything the last
+        ``generate`` planned — call AFTER the downstream sink write
+        succeeds (at-least-once becomes effectively exactly-once, same
+        contract as checkpoint.py's ledger commit)."""
+        if not self.checkpoint_dir:
+            raise ValueError("commit requires checkpoint_dir")
+        from . import file_chunks as fc
+
+        led = fc.OffsetLedger(self.checkpoint_dir)
+        entries = led.load()
+        chunk = self.chunk_bytes or (64 << 20)
+        new_counts = fc.count_new_lines(spark, self._last_plans, chunk)
+        for p in self._last_plans:
+            entries[p["path"]] = {
+                "fp": p["fp"],
+                "fp_len": p["fp_len"],
+                "offset": p["size"],
+                "n_lines": p["line_base"] + new_counts.get(p["path"], 0),
+            }
+        led.commit(entries)
 
     def generate(self, spark: SparkSession) -> DataFrame:
         from pyspark.sql.window import Window
+
+        if self.chunk_bytes or self.checkpoint_dir:
+            lines = self._generate_chunked(spark)
+            return self._lines_to_entries(lines)
 
         raw = spark.read.format("binaryFile").load(self.include)
         text = F.decode(F.col("content"), self.charset)
@@ -291,6 +359,10 @@ class FileInputStage(Stage):
                 )
                 .drop("_grp")
             )
+        return self._lines_to_entries(lines)
+
+    def _lines_to_entries(self, lines: DataFrame) -> DataFrame:
+        """(path, line_no, line) -> entry frame + log.file.* attrs."""
         df = to_entries(
             lines.select(
                 F.col("path").alias("conv_id"),

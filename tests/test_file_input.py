@@ -102,3 +102,95 @@ def test_include_list_of_globs(spark, tmp_path):
     got = rows(spark, FileInputStage(
         include=[str(tmp_path / "*.log"), str(tmp_path / "*.txt")]))
     assert sorted(t for _, t, _ in got) == ["from-x", "from-y"]
+
+
+# ---- chunked reading + offset resume (operators/file_chunks.py) ------
+
+
+def _texts(got):
+    return [(i, t) for i, t, _ in got]
+
+
+def test_chunked_identical_to_whole_file(spark, tmp_path):
+    """One file >> one chunk: the byte-range path must produce the
+    SAME (line_no, text) rows as the whole-file path, with >1
+    parallel range in the scan."""
+    from opentelemetry_log_collection_spark.operators import file_chunks as fc
+
+    body = "".join(f"line-{i:05d} payload {'x' * (i % 37)}\n" for i in range(2000))
+    p = tmp_path / "big.log"
+    p.write_text(body, encoding="utf-8")
+
+    whole = rows(spark, FileInputStage(include=str(p)))
+    chunked = rows(spark, FileInputStage(include=str(p), chunk_bytes=4096))
+    assert _texts(chunked) == _texts(whole)
+
+    # the scan genuinely fans out: many ranges for the one file
+    n_chunks = len(fc.plan_chunks(fc.plan_files([str(p)], None), 4096))
+    assert n_chunks > 4
+
+
+def test_chunked_multiline_stitches_across_ranges(spark, tmp_path):
+    """Groups spanning chunk boundaries stitch via the prefix sum —
+    byte-identical to the per-file window path."""
+    lines = []
+    for i in range(400):
+        lines.append(f"2024-01-01 entry {i}")
+        for j in range(i % 4):
+            lines.append(f"  cont {i}.{j}")
+    p = tmp_path / "ml_big.log"
+    p.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    ml = {"line_start_pattern": r"^\d{4}-\d{2}-\d{2} "}
+
+    whole = rows(spark, FileInputStage(include=str(p), multiline=ml))
+    chunked = rows(
+        spark, FileInputStage(include=str(p), multiline=ml, chunk_bytes=1024)
+    )
+    assert _texts(chunked) == _texts(whole)
+
+
+def test_chunked_crlf_and_unterminated_tail(spark, tmp_path):
+    p = tmp_path / "c.log"
+    p.write_bytes(b"x\r\ny\r\nz")  # CRLF, no final newline
+    got = rows(spark, FileInputStage(include=str(p), chunk_bytes=4))
+    assert [t for _, t, _ in got] == ["x", "y", "z"]
+
+
+def test_resume_skips_tails_and_rotates(spark, tmp_path):
+    """Ledger semantics (fingerprint.go:24-75, file.go:298-361):
+    unchanged file skipped; grown file tailed from the stored offset
+    with line numbers continuing; rotated (new head) file re-read."""
+    ck = str(tmp_path / "ckpt")
+    f1 = tmp_path / "one.log"
+    f2 = tmp_path / "two.log"
+    f1.write_text("a0\na1\n", encoding="utf-8")
+    f2.write_text("b0\n", encoding="utf-8")
+    stage = FileInputStage(include=str(tmp_path / "*.log"), checkpoint_dir=ck)
+    first = rows(spark, stage)
+    assert len(first) == 3
+    stage.commit(spark)
+
+    # append to f1, add f3, leave f2 untouched
+    with open(f1, "a", encoding="utf-8") as fh:
+        fh.write("a2\na3\n")
+    (tmp_path / "three.log").write_text("c0\n", encoding="utf-8")
+    stage2 = FileInputStage(include=str(tmp_path / "*.log"), checkpoint_dir=ck)
+    second = rows(spark, stage2)
+    by_file = {}
+    for i, t, a in second:
+        by_file.setdefault(a["log.file.name"], []).append((i, t))
+    assert "two.log" not in by_file  # consumed, skipped
+    assert by_file["one.log"] == [(2, "a2"), (3, "a3")]  # tail, nos continue
+    assert by_file["three.log"] == [(0, "c0")]
+    stage2.commit(spark)
+
+    # rotation: same path, new head -> new fingerprint -> full re-read
+    f2.write_text("rotated head that differs\nnext\n", encoding="utf-8")
+    stage3 = FileInputStage(include=str(f2), checkpoint_dir=ck)
+    third = rows(spark, stage3)
+    assert [t for _, t, _ in third] == ["rotated head that differs", "next"]
+
+
+def test_chunking_rejects_multibyte_charsets():
+    with pytest.raises(ValueError, match="unambiguous"):
+        FileInputStage(include="/tmp/x", encoding="utf16", chunk_bytes=1024)
