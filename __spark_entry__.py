@@ -402,6 +402,52 @@ def q_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_retain_body(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """retain on BODY-rooted keys (retain.go:91-118): the body map
+    filters to the listed keys, the attributes root filters
+    independently, and the raw-string body (text) obeys the text-drop
+    rule — rows whose body never parsed lose their raw text when body
+    keys are retained."""
+    spark.read.parquet(f"{sf_dir}/events.parquet").createOrReplaceTempView("events")
+    src = spark.sql(
+        "SELECT event_id, CASE WHEN event_id % 2 = 0 THEN "
+        "'{\"kind\":\"order\",\"sku\":\"s-' || cast(event_id % 40 as varchar(30)) "
+        "|| '\",\"qty\":\"' || cast(event_id % 7 as varchar(30)) || '\"}' "
+        "ELSE 'plain line ' || cast(event_id as varchar(30)) END AS line "
+        "FROM events"
+    )
+    df = to_entries(
+        src.select(
+            F.lit("r").alias("conv_id"),
+            F.col("event_id").cast("int").alias("turn_idx"),
+            F.lit("system").alias("role"),
+            F.col("line").alias("text"),
+            F.lit("").alias("tool"),
+            F.lit(None).cast("timestamp").alias("ts"),
+        )
+    )
+    df = build_stage(
+        {"type": "json_parser", "parse_to": "body",
+         "if_expr": 'body startsWith "{"'}
+    ).apply(df)
+    df = build_stage(
+        {"type": "retain",
+         "fields": ["body.kind", "body.sku", "attributes.role"]}
+    ).apply(df)
+    b = F.col("body")
+    return df.select(
+        F.col("turn_idx").cast("long").alias("event_id"),
+        F.try_element_at(b, F.lit("kind")).alias("kind"),
+        F.try_element_at(b, F.lit("sku")).alias("sku"),
+        F.coalesce(F.when(b.isNotNull(), F.size(b)), F.lit(0))
+        .cast("long")
+        .alias("n_body_keys"),
+        F.try_element_at(F.col("attributes"), F.lit("role")).alias("role_attr"),
+        F.size(F.col("attributes")).cast("long").alias("n_attrs"),
+        F.col("text").alias("raw_text"),
+    )
+
+
 def q_scope_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     """scope_name_parser: copy a string field to ScopeName
     (operator/parser/scope/scope_name.go:29-67)."""
@@ -775,6 +821,50 @@ def q_streaming_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_recombine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stateful recombine through Structured Streaming
+    (applyInPandasWithState, availableNow): boundary groups flush on
+    is_first matches, trailing open groups via the force_flush_period
+    analogue (ProcessingTimeTimeout). Must equal the batch window
+    operator row-for-row — same oracle SQL as recombine_conv."""
+    import tempfile
+    import time
+
+    from opentelemetry_log_collection_spark.streaming import (
+        stream_transcripts,
+        streaming_recombine,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_recombine_")
+    out = streaming_recombine(
+        stream_transcripts(spark, sf_dir), flush_timeout_ms=2000
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", f"{work}/rec")
+        .option("checkpointLocation", f"{work}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    # an availableNow query with registered ProcessingTimeTimeouts
+    # keeps scheduling timeout batches, so it never self-terminates:
+    # poll until every expected group (batch operator's count — the
+    # ground truth the oracle also computes) has landed, then stop
+    expected = q_recombine_conv(spark, sf_dir).count()
+    t0 = time.time()
+    while time.time() - t0 < 300:
+        try:
+            if spark.read.parquet(f"{work}/rec").count() >= expected:
+                break
+        except Exception:
+            pass
+        time.sleep(1)
+    q.stop()
+    return spark.read.parquet(f"{work}/rec").select(
+        F.col("source").alias("conv_id"), "turn_idx", "text"
+    )
+
+
 def _doc_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Documents re-cast as opaque media assets: payload = utf-8
     bytes, kind cycled. Exercises the multimodal plumbing (schema,
@@ -821,6 +911,24 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media decode, end to end: 60 genuine RIFF/WAVE containers
+    (stdlib wave, mono 16-bit PCM square waves with per-slice
+    amplitudes) -> multimodal.audio_features parses the container,
+    PCM-decodes the sample stream, and computes physical statistics
+    per asset inside mapInPandas. Every emitted float is an exact
+    dyadic rational by construction (integer amplitudes, power-of-two
+    slice lengths, /32768 scaling), so the DuckDB oracle reproduces
+    the decoder's output bit-for-bit from the closed-form amplitude
+    formula — the decode itself is what's under test."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        audio_features,
+        synthesize_wav_assets,
+    )
+
+    return audio_features(synthesize_wav_assets(spark, n=60))
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plumbing (one row -> many) — rows-only."""
     from opentelemetry_log_collection_spark.multimodal import sample_frames
@@ -862,6 +970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_epoch": q_time_epoch,
         "time_gotime": q_time_gotime,
         "transform_restructure": q_transform_restructure,
+        "retain_body": q_retain_body,
         "filter_drop": q_filter_drop,
         "enrich_roles": q_enrich_roles,
         "router_counts": q_router_counts,
@@ -878,9 +987,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
         "media_features": q_media_features,
+        "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "ann_ivf": q_ann_ivf,
         "streaming_routed": q_streaming_routed,
+        "streaming_recombine": q_streaming_recombine,
     }
 
 
@@ -1011,6 +1122,23 @@ FROM events"""
 SELECT event_id,
        substr(md5(CAST(event_id AS VARCHAR)), 1, 32) AS trace_hex,
        substr(md5(CAST(event_id AS VARCHAR)), 1, 16) AS span_hex
+FROM events"""
+
+    # body-root retain: even event_ids parsed JSON into body (kept
+    # keys filter to kind/sku), odd rows never parsed (body null) and
+    # lose their raw text under the text-drop rule; attributes filter
+    # to role on every row
+    sqls["retain_body"] = """
+SELECT CAST(event_id AS BIGINT) AS event_id,
+  CASE WHEN event_id % 2 = 0 THEN 'order' END AS kind,
+  CASE WHEN event_id % 2 = 0 THEN 's-' || CAST(event_id % 40 AS VARCHAR) END AS sku,
+  CAST(CASE WHEN event_id % 2 = 0 THEN 2 ELSE 0 END AS BIGINT) AS n_body_keys,
+  'system' AS role_attr,
+  CAST(1 AS BIGINT) AS n_attrs,
+  CASE WHEN event_id % 2 = 0 THEN
+    '{"kind":"order","sku":"s-' || CAST(event_id % 40 AS VARCHAR)
+      || '","qty":"' || CAST(event_id % 7 AS VARCHAR) || '"}'
+  END AS raw_text
 FROM events"""
 
     sqls["flatten"] = """
@@ -1241,6 +1369,32 @@ SELECT asset_id, kind, CAST(16 AS INTEGER) AS feature_dim,
 FROM h, UNNEST(generate_series(0, 15)) AS t(i)
 GROUP BY asset_id, kind"""
 
+    # the real WAV decode: the oracle reproduces the decoder's output
+    # from the closed-form generator (multimodal.wav_amplitude) — every
+    # value is an exact dyadic rational, both engines compute the SAME
+    # float64 expression tree (exact integer numerators, one division,
+    # correctly-rounded sqrt, /32768 exact scale), so bits match
+    rms_cols = ",\n       ".join(
+        f"max(CASE WHEN j = {j} THEN amp END) / 32768.0 AS rms_{j}"
+        for j in range(10)
+    )
+    sqls["media_audio"] = f"""
+WITH s AS (
+  SELECT CAST(i AS BIGINT) AS asset_id, j,
+         CAST(100 + (i * 7 + j * 13) % 12000 AS DOUBLE) AS amp
+  FROM UNNEST(generate_series(0, 59)) AS t(i),
+       UNNEST(generate_series(0, 9)) AS u(j)
+)
+SELECT asset_id,
+       CAST(5120 AS DOUBLE) / 8000.0 AS duration_s,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(1 AS BIGINT) AS n_channels,
+       CAST(5120 AS BIGINT) AS n_samples,
+       max(amp) / 32768.0 AS peak,
+       sqrt(sum(512.0 * amp * amp) / 5120.0) / 32768.0 AS rms,
+       {rms_cols}
+FROM s GROUP BY asset_id"""
+
     sqls["media_frames"] = """
 SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,
        CAST(16 AS INTEGER) AS frame_bytes
@@ -1381,6 +1535,9 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= 5""
 
     # the streaming flagship must route every row exactly like batch
     sqls["streaming_routed"] = sqls["routed_rows"]
+    # the streamed stateful recombine must equal the batch operator
+    # row-for-row, so it shares recombine_conv's oracle verbatim
+    sqls["streaming_recombine"] = sqls["recombine_conv"]
 
     sqls["embed_topk"] = """
 WITH q AS (
