@@ -668,10 +668,11 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
-    oracle's small K=4/band=2 config; production default is 128/16
-    (dedup.MINHASH_SEEDS/BAND_SIZE)."""
+    oracle's small K=4/band=2/md5 config (DuckDB reproduces md5);
+    production default is 128/16/xxhash64
+    (dedup.MINHASH_SEEDS/BAND_SIZE/MINHASH_HASH)."""
     docs = _documents(spark, sf_dir).select("doc_id", "text")
-    out = dedup.minhash_near_dups(docs, seeds=4, band_size=2)
+    out = dedup.minhash_near_dups(docs, seeds=4, band_size=2, hash_fn="md5")
     return out.select(
         "doc_a",
         "doc_b",

@@ -34,6 +34,15 @@ MINHASH_SEEDS = 128  # K signature components
 BAND_SIZE = 8        # rows per LSH band -> K/BAND_SIZE bands
 SHINGLE = 3          # words per shingle
 
+# Per-seed hash family for the signature. MinHash only needs a
+# deterministic uniform hash with a total order per seed, so the
+# production default is xxhash64 -> one BIGINT per seed (min over
+# longs, pure codegen). 'md5' (hex string, min over 32-char strings)
+# is kept because DuckDB can reproduce it — the oracle config pins it.
+# Measured at 50k docs x 128 seeds (tools/minhash_band_bench.py):
+# md5 signature 167s, xxhash64 28s — 6x.
+MINHASH_HASH = "xxhash64"
+
 _HEX = "0123456789abcdef"
 
 
@@ -93,15 +102,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
 # --------------------------------------------------------------------
 
 
+def _seed_hash(s: int, shingle: Column, hash_fn: str) -> Column:
+    if hash_fn == "md5":
+        # hex string — DuckDB-reproducible, used by the oracle config
+        return F.md5(F.concat(F.lit(f"{s}|"), shingle))
+    if hash_fn == "xxhash64":
+        # one BIGINT per seed — the production default
+        return F.xxhash64(F.lit(s), shingle)
+    raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
+
+
 def minhash_signature(
-    df: DataFrame, text_col: str = "text", seeds: int = MINHASH_SEEDS
+    df: DataFrame,
+    text_col: str = "text",
+    seeds: int = MINHASH_SEEDS,
+    hash_fn: str = MINHASH_HASH,
 ) -> DataFrame:
     """(doc_id, mh0..mh{K-1}): K min-hashes in ONE aggregation pass.
-    Each seed's hash is md5('<seed>|' + shingle) — deterministic,
-    identical across engines and runs."""
+    Each seed's hash is deterministic and engine-independent — see
+    MINHASH_HASH for the family choice."""
     sh = shingles(df, text_col)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{s}|"), F.col("shingle")))).alias(f"mh{s}")
+        F.min(_seed_hash(s, F.col("shingle"), hash_fn)).alias(f"mh{s}")
         for s in range(seeds)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -185,9 +207,10 @@ def minhash_near_dups(
     text_col: str = "text",
     seeds: int = MINHASH_SEEDS,
     band_size: int = BAND_SIZE,
+    hash_fn: str = MINHASH_HASH,
 ) -> DataFrame:
     """The full shingle->minhash->band->bucket-join->verify plan."""
-    sig = minhash_signature(df, text_col, seeds)
+    sig = minhash_signature(df, text_col, seeds, hash_fn)
     pairs = lsh_candidate_pairs(sig, seeds, band_size)
     return jaccard_verify(pairs, df, text_col)
 
