@@ -204,8 +204,14 @@ class _Parser:
             if v == "nil":
                 return _Val(F.lit(None), "nil")
             if v == "env":
-                # env("NAME") resolved at plan time, like the
-                # reference resolves it per render (expr_string.go:133-151)
+                # env("NAME") snapshots the driver environment when
+                # the stage plan is BUILT — and stages compile their
+                # expressions inside apply()/transform(), so every
+                # pipeline run re-reads the variable. The reference
+                # reads it per rendered entry (expr_string.go:133-151);
+                # in a batch plan all entries of one run share one
+                # render epoch, so per-run == per-render. Within a
+                # single action the value is constant by design.
                 self.expect("(")
                 name_t = self.next()
                 self.expect(")")

@@ -62,3 +62,27 @@ def test_env_and_template(spark):
         ).collect()
     ]
     assert got == ["stack=prod role=user"]
+
+
+def test_env_refreshes_per_run(spark):
+    """env() reads the CURRENT environment each time a stage builds
+    its plan (stages compile expressions inside apply), matching the
+    reference's per-render os.Getenv at per-run granularity
+    (expr_string.go:133-151): change the variable between two runs of
+    the SAME stage object and each run sees its own value."""
+    from opentelemetry_log_collection_spark.pipeline import build_stage
+    import opentelemetry_log_collection_spark.operators.transforms  # noqa: F401
+    from pyspark.sql import functions as F
+
+    df = make_entries(spark, ["x"])
+    stage = build_stage(
+        {"type": "add", "field": "attributes.deploy",
+         "value": 'EXPR(env("OTEL_SPARK_TEST_DEPLOY"))'}
+    )
+    os.environ["OTEL_SPARK_TEST_DEPLOY"] = "blue"
+    r1 = stage.apply(df).select(
+        F.try_element_at("attributes", F.lit("deploy"))).first()[0]
+    os.environ["OTEL_SPARK_TEST_DEPLOY"] = "green"
+    r2 = stage.apply(df).select(
+        F.try_element_at("attributes", F.lit("deploy"))).first()[0]
+    assert (r1, r2) == ("blue", "green")
