@@ -44,8 +44,13 @@ from opentelemetry_log_collection_spark.session import get_spark
 from opentelemetry_log_collection_spark.transcripts import inflated_transcripts
 
 sf_dir, cores, inflate = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+# optional memory tuning for deep (10M+) campaigns: the 25M attempt
+# died on execution-memory pressure at default fraction
+extra = {}
+if os.environ.get("SPARK_GRAFT_MEMORY_FRACTION"):
+    extra["spark.memory.fraction"] = os.environ["SPARK_GRAFT_MEMORY_FRACTION"]
 spark = get_spark(f"local[{cores}]", shuffle_partitions=cores,
-                  app_name=f"scaling-{cores}")
+                  app_name=f"scaling-{cores}", extra_conf=extra)
 t = inflated_transcripts(spark, sf_dir, inflate)  # built once, shared
 
 def pipeline(out):
