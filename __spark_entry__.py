@@ -942,6 +942,39 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, end to end: 60 genuine BMP containers
+    (24-bit BGR, padded bottom-up rows) -> multimodal.image_features
+    parses the headers, strips row padding, flips storage order back
+    to image order, and computes per-channel pixel statistics inside
+    mapInPandas. Channel sums are exact integers, so the DuckDB
+    oracle reproduces every float bit-for-bit from the closed-form
+    pixel formula (multimodal.bmp_pixel); corner_sum is row-order
+    sensitive, so a decoder that forgot the bottom-up flip fails."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features,
+        synthesize_bmp_assets,
+    )
+
+    return image_features(synthesize_bmp_assets(spark, n=60))
+
+
+def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, end to end: 40 genuine RIFF/AVI containers
+    (uncompressed-DIB streams) -> multimodal.video_frame_stats walks
+    the chunk tree, demuxes every frame, samples every 2nd, and emits
+    per-frame pixel statistics — one asset fans out to many rows
+    inside mapInPandas, payload bytes never cross a shuffle. Exact
+    closed-form oracle (multimodal.avi_pixel), same float-determinism
+    argument as media_image."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        synthesize_avi_assets,
+        video_frame_stats,
+    )
+
+    return video_frame_stats(synthesize_avi_assets(spark, n=40))
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -990,6 +1023,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
+        "media_image": q_media_image,
+        "media_video": q_media_video,
         "ann_ivf": q_ann_ivf,
         "streaming_routed": q_streaming_routed,
         "streaming_recombine": q_streaming_recombine,
@@ -1401,6 +1436,69 @@ SELECT doc_id AS asset_id, CAST(i AS INTEGER) AS frame_idx,
        CAST(16 AS INTEGER) AS frame_bytes
 FROM (SELECT doc_id, length(text) AS n FROM documents WHERE doc_id % 3 = 2) d,
 UNNEST(generate_series(0, least(7, n // 16 - 1))) AS t(i)"""
+
+    # the real BMP decode: the oracle reproduces the decoder's pixel
+    # statistics from the closed-form generator (multimodal.bmp_pixel).
+    # Channel sums are exact int64; the single /n division is the same
+    # correctly-rounded IEEE float64 op in both engines, so bits match.
+    sqls["media_image"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         15 + (i % 3) * 3 AS w, 12 + (i % 5) * 4 AS h
+  FROM UNNEST(generate_series(0, 59)) AS t(i)
+), px AS (
+  SELECT asset_id, w, h, x, y,
+         (asset_id * 7 + x * 5 + y * 3) % 256 AS b,
+         (asset_id * 7 + x * 5 + y * 3 + 11) % 256 AS g,
+         (asset_id * 7 + x * 5 + y * 3 + 22) % 256 AS r
+  FROM a, UNNEST(generate_series(0, 20)) AS tx(x),
+       UNNEST(generate_series(0, 27)) AS ty(y)
+  WHERE x < w AND y < h
+)
+SELECT asset_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+       CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+       CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+       CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / (3 * max(w) * max(h))
+         AS brightness,
+       CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
+            AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id"""
+
+    # the real AVI demux: every 2nd frame of each asset, per-frame
+    # stats from the closed form (multimodal.avi_pixel)
+    sqls["media_video"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         15 + (i % 3) * 3 AS w, 8 + (i % 4) * 2 AS h, 6 + (i % 5) AS nf
+  FROM UNNEST(generate_series(0, 39)) AS t(i)
+), fr AS (
+  SELECT asset_id, w, h, f
+  FROM a, UNNEST(generate_series(0, 9)) AS tf(f)
+  WHERE f < nf AND f % 2 = 0
+), px AS (
+  SELECT asset_id, w, h, f, x, y,
+         (asset_id * 7 + f * 17 + x * 5 + y * 3) % 256 AS b,
+         (asset_id * 7 + f * 17 + x * 5 + y * 3 + 11) % 256 AS g,
+         (asset_id * 7 + f * 17 + x * 5 + y * 3 + 22) % 256 AS r
+  FROM fr, UNNEST(generate_series(0, 20)) AS tx(x),
+       UNNEST(generate_series(0, 13)) AS ty(y)
+  WHERE x < w AND y < h
+)
+SELECT asset_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+       CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+       CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+       CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / (3 * max(w) * max(h))
+         AS brightness,
+       CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
+            AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id, f"""
 
     # ---- lang_id: the SAME literal trigram profiles, scored with the
     # replace-count trick; first-language-wins on ties, max 0 -> 'und'

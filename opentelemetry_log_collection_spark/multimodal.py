@@ -3,11 +3,18 @@ metadata, with decode/feature-extract/resize/frame-sample as
 Arrow-batched UDFs over mapInPandas.
 
 The Spark-side plumbing — schema, batch iteration, partition sizing,
-UDF signatures — is real and tested; the actual media decoding is
-STUBBED (this container ships no image/audio libs). Each stub either
-raises NotImplementedError (strict mode) or produces a deterministic
-fake derived from the bytes (test mode), so pipelines can be built
-and validated end-to-end before the real decoder lands.
+UDF signatures — is real and tested, and all three modalities now
+decode FOR REAL with pure-stdlib container parsers:
+
+  - audio: RIFF/WAVE (stdlib ``wave``) + PCM statistics
+  - image: BMP/DIB header walk + 24-bit BGR pixel statistics
+  - video: RIFF/AVI chunk-tree demux + uncompressed-DIB frame stats
+
+What stays stubbed is exactly the part that NEEDS external codecs:
+compressed formats (JPEG/PNG/H.264/MP3). For those, strict mode
+raises and non-strict falls back to a deterministic digest fake, so
+pipelines over compressed corpora can still be built and validated
+end-to-end before a codec library lands.
 
 Scale notes:
   - media bytes stay OPAQUE through shuffles — operators carry
@@ -172,21 +179,36 @@ def _wav_feature_vector(payload: bytes) -> list[float]:
 
 def _decode_stub(payload: bytes, kind: str, strict: bool) -> list[float]:
     """Decoder dispatch. AUDIO decodes FOR REAL (stdlib wave + PCM
-    statistics — no external libs needed); a payload that is not a
-    valid WAV is a parse error in strict mode and falls back to the
-    deterministic digest fake otherwise (so digest-fake corpora keep
-    exercising the plumbing). image/video remain the declared stub:
-    strict raises, non-strict returns the digest fake."""
+    statistics), IMAGE decodes FOR REAL (BMP container parse + pixel
+    statistics), VIDEO decodes FOR REAL (RIFF/AVI demux + per-frame
+    pixel statistics) — none need external libs. A payload that is
+    not a valid container for its kind is a parse error in strict
+    mode and falls back to the deterministic digest fake otherwise
+    (so digest-fake corpora keep exercising the plumbing). Compressed
+    codecs (JPEG/H.264/MP3...) remain the declared stub: they need
+    media libraries this environment does not ship."""
     if kind == "audio":
         try:
             return _wav_feature_vector(payload)
         except (wave.Error, ValueError, EOFError):
             if strict:
                 raise ValueError("malformed WAV payload")
+    elif kind == "image":
+        try:
+            return _bmp_feature_vector(payload)
+        except ValueError:
+            if strict:
+                raise ValueError("malformed/unsupported image payload")
+    elif kind == "video":
+        try:
+            return _avi_feature_vector(payload)
+        except ValueError:
+            if strict:
+                raise ValueError("malformed/unsupported video payload")
     elif strict:
         raise NotImplementedError(
-            "image/video decoding requires media libraries not present "
-            "in this environment; plug the real decoder in here"
+            f"no decoder for kind={kind!r}; compressed codecs require "
+            "media libraries not present in this environment"
         )
     d = hashlib.md5(kind.encode() + payload).digest()
     return [b / 255.0 for b in d[:FEATURE_DIM]]
@@ -298,24 +320,447 @@ def audio_features(df: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# REAL image decode: BMP (Windows DIB) container parse + pixel stats
+# --------------------------------------------------------------------
+# BMP is the one raster format a stdlib-only engine can decode for
+# real: fixed little-endian headers (BITMAPFILEHEADER 14 B +
+# BITMAPINFOHEADER 40 B), uncompressed 24-bit BGR pixel rows padded to
+# 4-byte boundaries, bottom-up row order unless biHeight < 0. The
+# synthesized geometry deliberately picks widths whose 3*W is NOT a
+# multiple of 4 so the row-padding path is exercised, and the corner
+# statistic is row-order-sensitive so a decoder that forgot the
+# bottom-up flip fails the oracle.
+
+#: closed-form synthetic-BMP geometry shared by generator, decoder
+#: tests, and the DuckDB oracle
+def bmp_dims(asset_id: int) -> tuple[int, int]:
+    return 15 + (asset_id % 3) * 3, 12 + (asset_id % 5) * 4
+
+
+def bmp_pixel(asset_id: int, x: int, y: int, c: int) -> int:
+    """Channel value at image coords (x right, y DOWN), c: 0=B 1=G 2=R
+    — matching BMP's BGR storage order. Integer in [0, 256)."""
+    return (asset_id * 7 + x * 5 + y * 3 + c * 11) % 256
+
+
+def synthesize_bmp(asset_id: int) -> bytes:
+    """A real, openable .bmp file: 24-bit uncompressed BGR, bottom-up
+    rows, 4-byte row padding."""
+    w, h = bmp_dims(asset_id)
+    yy, xx, cc = np.ogrid[0:h, 0:w, 0:3]
+    px = ((asset_id * 7 + xx * 5 + yy * 3 + cc * 11) % 256).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    data = rows[::-1].tobytes()  # positive biHeight => bottom-up storage
+    import struct
+
+    file_header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return file_header + info_header + data
+
+
+def decode_bmp(payload: bytes) -> dict:
+    """REAL image decode: parse the BMP container, recover the pixel
+    array (padding stripped, bottom-up flipped back to image order),
+    return per-channel statistics. Raises ValueError on malformed or
+    unsupported input (non-24-bit, compressed).
+
+    Float determinism: channel sums are exact integers (<= 255 * W*H,
+    far below 2^53), so the single mean division is the same
+    correctly-rounded IEEE float64 in any engine."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    (bf_off,) = struct.unpack_from("<I", payload, 10)
+    bi_size, w, h_raw = struct.unpack_from("<Iii", payload, 14)
+    planes, bitcount, compression = struct.unpack_from("<HHI", payload, 26)
+    if bi_size < 40 or planes != 1:
+        raise ValueError("malformed BITMAPINFOHEADER")
+    if bitcount != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bitcount}-bit compression={compression}")
+    topdown = h_raw < 0
+    h = -h_raw if topdown else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("degenerate BMP dimensions")
+    stride = (w * 3 + 3) & ~3
+    if bf_off + h * stride > len(payload):
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=h * stride, offset=bf_off
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3)
+    if not topdown:
+        px = px[::-1]  # back to image order: row 0 = top
+    sums = px.astype(np.int64).sum(axis=(0, 1))  # exact int per channel
+    n = w * h
+    return {
+        "width": w,
+        "height": h,
+        "n_pixels": n,
+        "mean_b": float(sums[0]) / n,
+        "mean_g": float(sums[1]) / n,
+        "mean_r": float(sums[2]) / n,
+        "brightness": float(sums.sum()) / (3 * n),
+        # row-order-sensitive: the IMAGE top-left pixel lives in the
+        # LAST stored row of a bottom-up BMP
+        "corner_sum": int(px[0, 0].astype(np.int64).sum()),
+    }
+
+
+def _bmp_feature_vector(payload: bytes) -> list[float]:
+    """FEATURE_DIM floats from a real BMP decode (strict-mode image)."""
+    d = decode_bmp(payload)
+    v = [
+        d["width"] / 64.0,
+        d["height"] / 64.0,
+        d["n_pixels"] / 4096.0,
+        d["mean_b"] / 255.0,
+        d["mean_g"] / 255.0,
+        d["mean_r"] / 255.0,
+        d["brightness"] / 255.0,
+        d["corner_sum"] / 765.0,
+    ]
+    return v + [0.0] * (FEATURE_DIM - len(v))
+
+
+def synthesize_bmp_assets(spark, n: int = 60) -> DataFrame:
+    """n REAL image assets (valid BMP payloads), deterministic by
+    asset_id. Driver-side at test scale; the 100 TB shape generates
+    per-partition from an id range (spark.range -> mapInPandas)."""
+    rows = []
+    for i in range(n):
+        blob = synthesize_bmp(i)
+        rows.append((i, "image", "image/bmp", blob, len(blob), {}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+_IMAGE_OUT = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("corner_sum", T.LongType()),
+    ]
+)
+
+
+def image_features(df: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
+    """REAL image decode as a DataFrame op: BMP container parse +
+    pixel statistics per asset, one flat row each. Payloads only ever
+    touched inside mapInPandas; Arrow batches re-bounded by byte
+    budget. Malformed payloads raise (strict: image corpora only)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = []
+        used = 0
+        for pdf in batches:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                rec = decode_bmp(payload)
+                rec["asset_id"] = int(aid)
+                buf.append(rec)
+                used += len(payload)
+                if used >= batch_bytes:
+                    yield pd.DataFrame(buf)
+                    buf, used = [], 0
+        if buf:
+            yield pd.DataFrame(buf)
+
+    return (
+        df.filter(F.col("kind") == "image")
+        .select("asset_id", "payload")
+        .mapInPandas(run, _IMAGE_OUT)
+        .select([f.name for f in _IMAGE_OUT.fields])
+    )
+
+
+# --------------------------------------------------------------------
+# REAL video decode: RIFF/AVI container demux + per-frame pixel stats
+# --------------------------------------------------------------------
+# AVI is RIFF (same container family the stdlib-decoded WAV uses):
+# RIFF('AVI ') -> LIST('hdrl'){ 'avih', LIST('strl'){'strh','strf'} }
+# -> LIST('movi'){ '00db' raw-DIB frames } -> 'idx1'. With the video
+# stream stored as uncompressed DIB ('DIB ' handler, 24-bit BGR
+# bottom-up rows — the same pixel layout decode_bmp parses), the full
+# demux is pure struct walking: no codec needed. Compressed streams
+# (H.264 etc.) raise ValueError and stay behind the declared stub.
+
+def avi_dims(asset_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) of the synthetic AVI, closed form."""
+    return 15 + (asset_id % 3) * 3, 8 + (asset_id % 4) * 2, 6 + (asset_id % 5)
+
+
+def avi_pixel(asset_id: int, frame: int, x: int, y: int, c: int) -> int:
+    """Channel value at frame f, image coords (x right, y down),
+    c: 0=B 1=G 2=R."""
+    return (asset_id * 7 + frame * 17 + x * 5 + y * 3 + c * 11) % 256
+
+
+def _riff_chunk(fourcc: bytes, payload: bytes) -> bytes:
+    import struct
+
+    out = struct.pack("<4sI", fourcc, len(payload)) + payload
+    if len(payload) & 1:
+        out += b"\x00"  # RIFF chunks are word-aligned
+    return out
+
+
+def _riff_list(list_type: bytes, payload: bytes) -> bytes:
+    return _riff_chunk(b"LIST", list_type + payload)
+
+
+def _dib_frame(asset_id: int, frame: int) -> bytes:
+    """One raw-DIB frame: bottom-up BGR rows, 4-byte row padding —
+    exactly a BMP pixel array without the file headers."""
+    w, h, _ = avi_dims(asset_id)
+    yy, xx, cc = np.ogrid[0:h, 0:w, 0:3]
+    px = (
+        (asset_id * 7 + frame * 17 + xx * 5 + yy * 3 + cc * 11) % 256
+    ).astype(np.uint8)
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = px.reshape(h, w * 3)
+    return rows[::-1].tobytes()
+
+
+def synthesize_avi(asset_id: int) -> bytes:
+    """A real, openable .avi file: one uncompressed-DIB video stream,
+    n_frames 24-bit BGR frames, proper hdrl/movi/idx1 structure."""
+    import struct
+
+    w, h, n_frames = avi_dims(asset_id)
+    frames = [_dib_frame(asset_id, f) for f in range(n_frames)]
+    frame_size = len(frames[0])
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        100_000,            # dwMicroSecPerFrame (10 fps)
+        frame_size * 10,    # dwMaxBytesPerSec
+        0,                  # dwPaddingGranularity
+        0x10,               # dwFlags: AVIF_HASINDEX
+        n_frames, 0, 1,     # dwTotalFrames, dwInitialFrames, dwStreams
+        frame_size, w, h,   # dwSuggestedBufferSize, dwWidth, dwHeight
+        0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, 10,              # dwScale / dwRate = 10 fps
+        0, n_frames, frame_size, 0, 0,
+        0, 0, w, h,         # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 2835, 2835, 0, 0
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
+    )
+    movi_payload = b"".join(_riff_chunk(b"00db", fr) for fr in frames)
+    movi = _riff_list(b"movi", movi_payload)
+    # idx1: one entry per frame (fourcc, flags, offset-into-movi, size)
+    off = 4  # offsets are relative to the start of the 'movi' list type
+    entries = []
+    for fr in frames:
+        entries.append(struct.pack("<4sIII", b"00db", 0x10, off, len(fr)))
+        off += 8 + len(fr) + (len(fr) & 1)
+    idx1 = _riff_chunk(b"idx1", b"".join(entries))
+    return _riff_chunk(b"RIFF", b"AVI " + hdrl + movi + idx1)
+
+
+def demux_avi(payload: bytes) -> tuple[dict, list[bytes]]:
+    """REAL video demux: walk the RIFF chunk tree, parse the avih
+    header, collect the movi stream's video frames. Returns
+    (meta, frames) where meta has width/height/n_frames/usec_per_frame
+    and frames are the raw DIB payloads in stream order. Raises
+    ValueError on malformed containers or compressed ('##dc') streams.
+    """
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        while pos + 8 <= end:
+            fourcc, size = struct.unpack_from("<4sI", buf, pos)
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > end:
+                raise ValueError("truncated RIFF chunk")
+            if fourcc == b"LIST":
+                list_type = buf[body_start : body_start + 4]
+                walk(buf, body_start + 4, body_end, list_type == b"movi")
+            elif fourcc == b"avih":
+                if size < 40:
+                    raise ValueError("short avih header")
+                vals = struct.unpack_from("<10I", buf, body_start)
+                meta.update(
+                    usec_per_frame=vals[0],
+                    n_frames=vals[4],
+                    width=vals[8],
+                    height=vals[9],
+                )
+            elif in_movi and fourcc[2:] == b"dc":
+                raise ValueError("compressed video stream: no codec available")
+            elif in_movi and fourcc[2:] == b"db":
+                frames.append(buf[body_start:body_end])
+            pos = body_end + (size & 1)
+
+    walk(payload, 12, len(payload), False)
+    if not meta:
+        raise ValueError("AVI missing avih header")
+    if meta["n_frames"] != len(frames):
+        raise ValueError(
+            f"avih declares {meta['n_frames']} frames, movi has {len(frames)}"
+        )
+    return meta, frames
+
+
+def _dib_stats(frame: bytes, w: int, h: int) -> dict:
+    """Pixel statistics of one raw-DIB frame (bottom-up BGR, padded
+    rows) — the same exact-integer-sum discipline as decode_bmp."""
+    stride = (w * 3 + 3) & ~3
+    if h * stride > len(frame):
+        raise ValueError("truncated DIB frame")
+    px = np.frombuffer(frame, dtype=np.uint8, count=h * stride).reshape(
+        h, stride
+    )[:, : w * 3].reshape(h, w, 3)[::-1]
+    sums = px.astype(np.int64).sum(axis=(0, 1))
+    n = w * h
+    return {
+        "mean_b": float(sums[0]) / n,
+        "mean_g": float(sums[1]) / n,
+        "mean_r": float(sums[2]) / n,
+        "brightness": float(sums.sum()) / (3 * n),
+        "corner_sum": int(px[0, 0].astype(np.int64).sum()),
+    }
+
+
+def _avi_feature_vector(payload: bytes) -> list[float]:
+    """FEATURE_DIM floats from a real AVI demux (strict-mode video)."""
+    meta, frames = demux_avi(payload)
+    first = _dib_stats(frames[0], meta["width"], meta["height"])
+    last = _dib_stats(frames[-1], meta["width"], meta["height"])
+    v = [
+        meta["width"] / 64.0,
+        meta["height"] / 64.0,
+        meta["n_frames"] / 32.0,
+        meta["usec_per_frame"] / 1e6,
+        first["brightness"] / 255.0,
+        first["corner_sum"] / 765.0,
+        last["brightness"] / 255.0,
+        last["corner_sum"] / 765.0,
+    ]
+    return v + [0.0] * (FEATURE_DIM - len(v))
+
+
+def synthesize_avi_assets(spark, n: int = 40) -> DataFrame:
+    """n REAL video assets (valid RIFF/AVI payloads), deterministic by
+    asset_id."""
+    rows = []
+    for i in range(n):
+        blob = synthesize_avi(i)
+        rows.append((i, "video", "video/x-msvideo", blob, len(blob), {}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+_VIDEO_OUT = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("mean_b", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("brightness", T.DoubleType()),
+        T.StructField("corner_sum", T.LongType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame,
+    stride: int = 2,
+    max_frames: int = 8,
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """REAL video decode as a DataFrame op: demux the AVI container,
+    sample every ``stride``-th frame (up to ``max_frames``), emit
+    per-frame pixel statistics — one input row fans out to many
+    output rows inside mapInPandas, payload bytes never cross a
+    shuffle. Malformed/compressed payloads raise."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: list[dict] = []
+        used = 0
+        for pdf in batches:
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                payload = bytes(payload)
+                meta, frames = demux_avi(payload)
+                w, h = meta["width"], meta["height"]
+                for k, f in enumerate(range(0, len(frames), stride)):
+                    if k >= max_frames:
+                        break
+                    rec = _dib_stats(frames[f], w, h)
+                    rec.update(
+                        asset_id=int(aid), frame_idx=f, width=w, height=h
+                    )
+                    buf.append(rec)
+                used += len(payload)
+                if used >= batch_bytes:
+                    yield pd.DataFrame(buf)
+                    buf, used = [], 0
+        if buf:
+            yield pd.DataFrame(buf)
+
+    return (
+        df.filter(F.col("kind") == "video")
+        .select("asset_id", "payload")
+        .mapInPandas(run, _VIDEO_OUT)
+        .select([f.name for f in _VIDEO_OUT.fields])
+    )
+
+
 def sample_frames(
     df: DataFrame, every_n_bytes: int = 16, max_frames: int = 8,
     strict: bool = False,
 ) -> DataFrame:
-    """Frame-sampling plumbing for video assets: explode each payload
-    into <=max_frames pseudo-frames. The real implementation replaces
-    the slicer with a container demuxer; the batch shape (one input
-    row -> many output rows via mapInPandas) is the part that matters
-    for the plan."""
+    """Frame sampling for video assets: a RIFF/AVI payload demuxes FOR
+    REAL (demux_avi) and emits its actual frames; any other payload
+    falls back to the pseudo-frame slicer (plumbing mode) unless
+    strict, where a non-AVI payload is a parse error. One input row ->
+    many output rows via mapInPandas, payloads never cross a shuffle.
+    """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
-                if strict:
-                    raise NotImplementedError("video demuxing not available")
                 payload = bytes(payload)
                 aid = int(aid)
+                if payload[:4] == b"RIFF":
+                    _, real = demux_avi(payload)
+                    for k, fr in enumerate(real[:max_frames]):
+                        ids.append(aid)
+                        idxs.append(k)
+                        frames.append(fr)
+                    continue
+                if strict:
+                    raise ValueError("not an AVI container; no codec available")
                 for k in range(min(max_frames, len(payload) // every_n_bytes)):
                     ids.append(aid)
                     idxs.append(k)

@@ -53,9 +53,20 @@ def register(type_name: str):
     return deco
 
 
+def _ensure_registered() -> None:
+    """Operator modules self-register on import (the analogue of the
+    reference's per-package init() calls). A user who only imports
+    Pipeline/from_yaml still deserves a populated registry, so fill it
+    lazily here; the import is deferred to avoid a load-time cycle
+    (operator modules import this module for ``register``)."""
+    from . import operators  # noqa: F401  (side-effect: registration)
+
+
 def build_stage(cfg: dict[str, Any]) -> "Stage":
     cfg = dict(cfg)
     type_name = cfg.pop("type", None)
+    if type_name not in _REGISTRY:
+        _ensure_registered()
     if type_name not in _REGISTRY:
         raise ValueError(f"unknown operator type {type_name!r}")
     # reference YAML spells the predicate `if:` (docs/operators/*.md);
