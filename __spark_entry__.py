@@ -687,6 +687,30 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash64(docs)
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs via pigeonhole banding: 4 nibble
+    bands over the 64-bit signature guarantee every pair with hamming
+    <= 3 collides on at least one band; exact hamming verify runs as
+    codegen nibble algebra on the candidate set only (dedup.
+    simhash_near_dups)."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return dedup.simhash_near_dups(docs, max_hamming=3)
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: 3-table random-hyperplane
+    LSH candidates + exact cosine threshold (similarity.
+    embedding_near_dups). Deterministic given the md5-derived planes,
+    so the oracle replays them as literals. The 0.35 threshold is
+    tuned to the synthetic corpus's similarity scale (pairwise cosine
+    tops out at ~0.47; the nearest sims sit >5e-4 from 0.35, so
+    engine float noise cannot flip membership); pair ids only are
+    emitted — the float sim stays out of the hash."""
+    emb = _embeddings(spark, sf_dir)
+    out = similarity.embedding_near_dups(emb, threshold=0.35)
+    return out.select("doc_a", "doc_b")
+
+
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + stopword stats over documents."""
     docs = _documents(spark, sf_dir)
@@ -1014,6 +1038,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_near_dups": q_embed_near_dups,
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
@@ -1631,6 +1657,71 @@ WITH q AS (
   FROM s
 )
 SELECT query_id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM r WHERE rnk <= 5"""
+
+    # ---- simhash_pairs: banded pigeonhole candidates over the
+    # simhash signatures (4 nibble bands, hamming <= 3 must share one)
+    # + exact nibble-algebra hamming verify, mirroring
+    # dedup.simhash_near_dups
+    _ham = " + ".join(
+        f"bit_count(xor(strpos('0123456789abcdef', substr(ha, {p}, 1)) - 1, "
+        f"strpos('0123456789abcdef', substr(hb, {p}, 1)) - 1))"
+        for p in range(1, 17)
+    )
+    sqls["simhash_pairs"] = f"""
+WITH sig AS ({sqls["simhash"]}),
+ bands AS (
+  SELECT doc_id, b AS band, substr(simhash, b * 4 + 1, 4) AS band_val
+  FROM sig, UNNEST(generate_series(0, 3)) AS t(b)
+), cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r USING (band, band_val)
+  WHERE l.doc_id < r.doc_id
+), j AS (
+  SELECT doc_a, doc_b, sa.simhash AS ha, sb.simhash AS hb
+  FROM cand
+  JOIN sig sa ON sa.doc_id = cand.doc_a
+  JOIN sig sb ON sb.doc_id = cand.doc_b
+)
+SELECT doc_a, doc_b, CAST({_ham} AS INTEGER) AS hamming
+FROM j WHERE {_ham} <= 3"""
+
+    # ---- embed_near_dups: replay the 3 LSH tables' md5-derived
+    # hyperplanes (similarity._hyperplanes, dim 64, 6 planes, seeds
+    # 7..9) as literals; candidate pairs share a bucket in ANY table;
+    # exact cosine >= 0.35 (sims sit >5e-4 from the threshold at
+    # oracle SFs, so engine float noise cannot flip membership)
+    def _nd_bits(vcol: str, t: int) -> str:
+        planes = _hyperplanes(64, 6, 7 + t)
+        return " || ".join(
+            "(CASE WHEN list_dot_product("
+            + vcol
+            + ", ["
+            + ", ".join(repr(x) for x in p)
+            + "]) >= 0 THEN '1' ELSE '0' END)"
+            for p in planes
+        )
+
+    _nd_tables = "\n  UNION ALL\n  ".join(
+        f"SELECT vid, {t} AS tbl, {_nd_bits('vv', t)} AS bucket FROM v"
+        for t in range(3)
+    )
+    sqls["embed_near_dups"] = f"""
+WITH v AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings
+), b AS (
+  {_nd_tables}
+), cand AS (
+  SELECT DISTINCT l.vid AS doc_a, r.vid AS doc_b
+  FROM b l JOIN b r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                   AND l.vid < r.vid
+)
+SELECT doc_a, doc_b
+FROM cand
+JOIN v va ON va.vid = cand.doc_a
+JOIN v vb ON vb.vid = cand.doc_b
+WHERE list_dot_product(va.vv, vb.vv)
+      / (sqrt(list_dot_product(va.vv, va.vv))
+         * sqrt(list_dot_product(vb.vv, vb.vv))) >= 0.35"""
 
     # the streaming flagship must route every row exactly like batch
     sqls["streaming_routed"] = sqls["routed_rows"]

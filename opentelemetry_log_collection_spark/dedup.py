@@ -267,3 +267,84 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         for nb in range(16)
     ]
     return sums.select("doc_id", F.concat(*nib_chars).alias("simhash"))
+
+
+def hamming64_expr(col_a: str, col_b: str) -> Column:
+    """Hamming distance between two 16-hex-char SimHash columns
+    (referenced BY NAME) as 16 plan-time-constant nibble expressions:
+    bit_count(nibble_a XOR nibble_b) summed per position. Pure
+    whole-stage codegen — no UDF, no explode."""
+    total: Column | None = None
+    for p in range(1, 17):
+        t = F.expr(
+            f"bit_count((instr('{_HEX}', substr({col_a}, {p}, 1)) - 1) "
+            f"^ (instr('{_HEX}', substr({col_b}, {p}, 1)) - 1))"
+        )
+        total = t if total is None else total + t
+    return total.cast("int")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = 1_000_000,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: (doc_a, doc_b, hamming) with
+    doc_a < doc_b and hamming <= max_hamming.
+
+    Candidate generation is the pigeonhole banding trick: split the
+    64-bit signature into ``max_hamming + 1`` contiguous nibble bands
+    — any pair within the hamming budget must agree EXACTLY on at
+    least one band, so candidates come from a bucketed equi-self-join
+    on (band_idx, band_value), never an all-pairs product. The verify
+    step re-attaches the two 16-char signatures (8 bytes of payload
+    per side) and computes exact hamming with codegen nibble algebra
+    (hamming64_expr).
+
+    100 TB shape: only (doc_id, band_idx, band_value) rows shuffle for
+    candidates (~17 bytes x n_bands per doc); text never moves; the
+    ``max_bucket_size`` guard drops degenerate buckets (e.g. the
+    all-zero signature of empty docs) that would make the self-join
+    quadratic, trading recall only on those pathological clusters."""
+    if not 0 <= max_hamming <= 15:
+        raise ValueError("max_hamming must be in [0, 15]")
+    sig = simhash64(df, text_col)
+    n_bands = max_hamming + 1
+    widths = [16 // n_bands + (1 if i < 16 % n_bands else 0) for i in range(n_bands)]
+    starts = [1 + sum(widths[:i]) for i in range(n_bands)]
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.substring(F.col("simhash"), starts[i], widths[i])
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    if max_bucket_size is not None:
+        sizes = bands.groupBy("band", "band_val").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        bands = bands.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            ["band", "band_val"],
+        )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
+    cand = (
+        left.join(right, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", hamming64_expr("sh_a", "sh_b").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

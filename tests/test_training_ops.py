@@ -82,6 +82,53 @@ def test_simhash_properties(spark, docs):
     assert ham < ham_far                 # near-dup closer than unrelated
 
 
+def test_simhash_near_dups(spark, docs):
+    """Banded candidate generation + exact hamming verify: the exact
+    dup is at distance 0; pigeonhole recall is total for hamming <=
+    max_hamming (any such pair must share a full band)."""
+    out = dedup.simhash_near_dups(docs, max_hamming=3)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out.collect()}
+    assert pairs.get((0, 3)) == 0        # identical text
+    assert all(h <= 3 for h in pairs.values())
+    # exhaustive ground truth from the signatures themselves
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(docs).collect()}
+    ids = sorted(sigs)
+    truth = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if sum(
+            bin(int(x, 16) ^ int(y, 16)).count("1")
+            for x, y in zip(sigs[a], sigs[b])
+        ) <= 3
+    }
+    assert set(pairs) == truth
+
+
+def test_simhash_near_dups_bucket_guard(spark):
+    """A degenerate corpus (all-identical signatures) collapses into
+    one band bucket; the guard drops it instead of going quadratic."""
+    df = spark.createDataFrame(
+        [(i, "same text every time") for i in range(10)], ["doc_id", "text"]
+    )
+    assert dedup.simhash_near_dups(df, max_bucket_size=5).count() == 0
+    full = dedup.simhash_near_dups(df, max_bucket_size=None).count()
+    assert full == 45                    # all C(10,2) pairs at hamming 0
+
+
+def test_hamming64_expr(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("0000000000000000", "ffffffffffffffff"),
+         ("0123456789abcdef", "0123456789abcdef"),
+         ("8000000000000001", "0000000000000000")],
+        ["ha", "hb"],
+    )
+    got = [r[0] for r in df.select(dedup.hamming64_expr("ha", "hb")).collect()]
+    assert got == [64, 0, 2]
+
+
 def test_token_and_quality_stats(spark):
     df = spark.createDataFrame([(1, "The cat, the hat: 2 hats!")], ["doc_id", "text"])
     t = textops.token_stats(df).collect()[0]
