@@ -983,6 +983,28 @@ def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_bmp_assets(spark, n=60))
 
 
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, round-tripped: BMP assets -> nearest-neighbor
+    resample to 8x8 (multimodal.resize_images, floor index mapping) ->
+    the RESIZED payloads re-enter image_features and decode again —
+    proving the emitted bytes are themselves valid BMPs. The oracle
+    replays pixel selection in closed form: resized (x, y, c) =
+    bmp_pixel(a, x*w//8, y*h//8, c); exact-integer sums as always."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features,
+        resize_images,
+        synthesize_bmp_assets,
+    )
+
+    resized = resize_images(synthesize_bmp_assets(spark, n=60), 8, 8)
+    re_assets = resized.select(
+        "asset_id",
+        F.lit("image").alias("kind"),
+        "payload",
+    )
+    return image_features(re_assets)
+
+
 def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL video decode, end to end: 40 genuine RIFF/AVI containers
     (uncompressed-DIB streams) -> multimodal.video_frame_stats walks
@@ -1050,6 +1072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "media_image": q_media_image,
+        "media_resize": q_media_resize,
         "media_video": q_media_video,
         "ann_ivf": q_ann_ivf,
         "streaming_routed": q_streaming_routed,
@@ -1490,6 +1513,33 @@ SELECT asset_id,
        CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
        CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / (3 * max(w) * max(h))
          AS brightness,
+       CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
+            AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id"""
+
+    # the real BMP resize, round-tripped through a second decode:
+    # resized pixel (x,y,c) = bmp_pixel(a, x*w//8, y*h//8, c)
+    sqls["media_resize"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         15 + (i % 3) * 3 AS w, 12 + (i % 5) * 4 AS h
+  FROM UNNEST(generate_series(0, 59)) AS t(i)
+), px AS (
+  SELECT asset_id, x, y,
+         (asset_id * 7 + ((x * w) // 8) * 5 + ((y * h) // 8) * 3) % 256 AS b,
+         (asset_id * 7 + ((x * w) // 8) * 5 + ((y * h) // 8) * 3 + 11) % 256 AS g,
+         (asset_id * 7 + ((x * w) // 8) * 5 + ((y * h) // 8) * 3 + 22) % 256 AS r
+  FROM a, UNNEST(generate_series(0, 7)) AS tx(x),
+       UNNEST(generate_series(0, 7)) AS ty(y)
+)
+SELECT asset_id,
+       CAST(8 AS BIGINT) AS width,
+       CAST(8 AS BIGINT) AS height,
+       CAST(64 AS BIGINT) AS n_pixels,
+       CAST(sum(b) AS DOUBLE) / 64 AS mean_b,
+       CAST(sum(g) AS DOUBLE) / 64 AS mean_g,
+       CAST(sum(r) AS DOUBLE) / 64 AS mean_r,
+       CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / 192 AS brightness,
        CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
             AS BIGINT) AS corner_sum
 FROM px GROUP BY asset_id"""

@@ -103,6 +103,8 @@ def main() -> None:
         "routed_rows",
         "dedup_exact",
         "minhash_pairs",
+        "simhash_pairs",
+        "embed_near_dups",
         "token_stats",
         "lang_id",
         "embed_topk",

@@ -168,6 +168,43 @@ def test_bmp_decode_rejects_malformed(spark):
         extract_features(fake, strict=True).collect()
 
 
+def test_bmp_resize_real(spark):
+    """resize_bmp emits a VALID BMP whose pixels are the floor-mapped
+    nearest-neighbor samples of the source; the Spark op round-trips
+    through a second decode."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        bmp_dims,
+        bmp_pixel,
+        decode_bmp,
+        image_features,
+        resize_bmp,
+        resize_images,
+        synthesize_bmp,
+        synthesize_bmp_assets,
+    )
+    from pyspark.sql import functions as F
+
+    for a in (0, 4, 9):
+        w, h = bmp_dims(a)
+        small = resize_bmp(synthesize_bmp(a), 8, 8)
+        d = decode_bmp(small)
+        assert (d["width"], d["height"]) == (8, 8)
+        sums = [0, 0, 0]
+        for y in range(8):
+            for x in range(8):
+                for c in range(3):
+                    sums[c] += bmp_pixel(a, (x * w) // 8, (y * h) // 8, c)
+        assert d["mean_b"] == sums[0] / 64
+        assert d["corner_sum"] == sum(bmp_pixel(a, 0, 0, c) for c in range(3))
+
+    resized = resize_images(synthesize_bmp_assets(spark, n=8), 8, 8)
+    out = image_features(
+        resized.select("asset_id", F.lit("image").alias("kind"), "payload")
+    ).collect()
+    assert len(out) == 8
+    assert all(r["width"] == 8 and r["height"] == 8 for r in out)
+
+
 def test_avi_demux_real(spark):
     """The video decoder is REAL: RIFF/AVI chunk-tree demux recovers
     the header metadata and every uncompressed-DIB frame; per-frame
