@@ -744,6 +744,15 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.fingerprint(_documents(spark, sf_dir))
 
 
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS rolling k-gram + window-min
+    selection, textops.winnow_fingerprints): k=5, w=4 — any shared
+    substring >= 8 chars across documents shares a fingerprint.
+    Entirely higher-order-function algebra, zero shuffles."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    return textops.winnow_fingerprints(docs, k=5, w=4)
+
+
 def q_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 (ranks only; exact baseline)."""
     emb = _embeddings(spark, sf_dir)
@@ -1065,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_stats": q_quality_stats,
         "fingerprint": q_fingerprint,
+        "winnow_fp": q_winnow_fp,
         "embed_topk": q_embed_topk,
         "lang_id": q_lang_id,
         "ann_lsh": q_ann_lsh,
@@ -1431,6 +1441,23 @@ FROM documents"""
     sqls["fingerprint"] = (
         "SELECT doc_id, md5(substr(text, 1, 64)) AS fp FROM documents"
     )
+
+    # winnowing (k=5, w=4): per-position 5-gram md5, min over each
+    # 4-hash window (ROWS BETWEEN mirrors the HOF slice), distinct
+    sqls["winnow_fp"] = """
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents
+  WHERE length(text) >= 8
+), g AS (
+  SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 5)) AS h, n
+  FROM d, UNNEST(generate_series(1, n - 4)) AS t(i)
+), wm AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM g
+)
+SELECT DISTINCT doc_id, fp FROM wm WHERE i <= n - 7"""
 
     # the multimodal stub feature is byte i of md5(kind || payload)
     # scaled to [0,1]; payload is the utf-8 text, so DuckDB recovers

@@ -78,6 +78,47 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme: Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003): hash every k-char gram, slide a
+    w-hash window, keep each window's minimum, emit the distinct
+    selected hashes as (doc_id, fp) rows. Guarantees: any shared
+    substring of length >= k + w - 1 between two documents yields at
+    least one shared fingerprint.
+
+    Spark-first shape: the entire selection is higher-order-function
+    algebra over ONE bound hash array — per-position md5 k-grams via
+    transform, window minima via transform+slice+array_min, dedup via
+    array_distinct — so the operator is completely pipeline-local:
+    zero shuffles, zero Python, rows never leave their input
+    partition until the caller aggregates. md5 hex (not xxhash64)
+    keeps the window-min comparison an engine-portable string order.
+
+    Documents shorter than k + w - 1 chars have no complete window
+    and emit no rows (the standard winnowing edge)."""
+    t = F.col(text_col)
+    n = F.length(t)
+    n_pos = n - k + 1          # number of k-grams
+    n_win = n_pos - w + 1      # number of complete windows
+    hashes = F.transform(
+        F.sequence(F.lit(1), n_pos),
+        lambda i: F.md5(F.substr(t, i, F.lit(k))),
+    )
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            lambda j: F.array_min(F.slice(F.col("_h"), j, w)),
+        )
+    )
+    return (
+        df.filter(n >= k + w - 1)
+        .withColumn("_h", hashes)
+        .select(F.col("doc_id"), F.explode(sel).alias("fp"))
+    )
+
+
 # --------------------------------------------------------------------
 # language-ID: char-trigram profile scoring (vectorized pandas UDF)
 # --------------------------------------------------------------------

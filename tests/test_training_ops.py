@@ -141,6 +141,42 @@ def test_token_and_quality_stats(spark):
     assert q["space_cnt"] == 5
 
 
+def test_winnow_fingerprints(spark):
+    """Winnowing guarantee: two docs sharing a substring of length >=
+    k + w - 1 share at least one fingerprint; short docs emit none;
+    selection matches a pure-Python reference implementation."""
+    import hashlib
+
+    k, w = 5, 4
+    shared = "the quick brown fox jumps"
+    df = spark.createDataFrame(
+        [
+            (1, f"AAA {shared} BBB"),
+            (2, f"xyz {shared} qqq"),
+            (3, "completely different content here"),
+            (4, "short"),  # < k + w - 1: no complete window
+        ],
+        ["doc_id", "text"],
+    )
+    out = textops.winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert 4 not in by_doc
+    assert by_doc[1] & by_doc[2]                   # shared substring detected
+    assert not (by_doc[1] & by_doc[3] & by_doc[2])
+
+    def ref(text: str) -> set:
+        hs = [
+            hashlib.md5(text[i:i + k].encode()).hexdigest()
+            for i in range(len(text) - k + 1)
+        ]
+        return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+    for doc_id, text in [(1, f"AAA {shared} BBB"), (3, "completely different content here")]:
+        assert by_doc[doc_id] == ref(text)
+
+
 def test_fingerprint_prefix_semantics(spark):
     long_a = "x" * 100 + "tail-a"
     long_b = "x" * 100 + "tail-b"
