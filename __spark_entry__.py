@@ -1030,6 +1030,50 @@ def q_media_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(synthesize_avi_assets(spark, n=40))
 
 
+def q_tcp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcp_input end to end over a REAL socket (tcp.go:61-302): the
+    tomcat-dialect transcript lines are pushed through a bound TCP
+    listener by a driver-side client (simulating the external log
+    shipper), the bridge decodes + newline-splits + spools, and the
+    returned frame is the ordinary distributed scan of that spool.
+    Oracle: the same lines straight from the table — socket transport
+    and splitter must be lossless and order-preserving."""
+    import socket as _socket
+    import tempfile
+    import time as _time
+
+    from opentelemetry_log_collection_spark.operators.net_input import (
+        TcpInputStage,
+    )
+
+    lines = [
+        r.text
+        for r in materialized_transcripts(spark, sf_dir)
+        .filter(F.col("text").startswith("10."))
+        .select("text")
+        .collect()  # client side: the SENDER is external by definition
+    ]
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=tempfile.mkdtemp(prefix="tcp_ingest_"),
+    )
+    stage.bridge.start()
+    try:
+        c = _socket.create_connection(("127.0.0.1", stage.bridge.port), timeout=10)
+        c.sendall(("\n".join(lines) + "\n").encode("utf-8"))
+        c.close()
+        # wait for the handler to drain (recv returns b"" after close)
+        deadline = _time.time() + 30
+        while _time.time() < deadline:
+            handlers = stage.bridge._threads[1:]
+            if handlers and all(not t.is_alive() for t in handlers):
+                break
+            _time.sleep(0.05)
+    finally:
+        stage.bridge.stop(drain_s=0.0)
+    return stage.generate(spark).select("text")
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -1087,6 +1131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "streaming_routed": q_streaming_routed,
         "streaming_recombine": q_streaming_recombine,
+        "tcp_ingest": q_tcp_ingest,
     }
 
 
@@ -1805,6 +1850,12 @@ WHERE list_dot_product(va.vv, vb.vv)
     # the streamed stateful recombine must equal the batch operator
     # row-for-row, so it shares recombine_conv's oracle verbatim
     sqls["streaming_recombine"] = sqls["recombine_conv"]
+
+    # tcp_input round-trip: socket transport + splitter are lossless,
+    # so the spool scan equals the pushed lines verbatim
+    sqls["tcp_ingest"] = (
+        f"{ORACLE_CTE} SELECT text FROM transcripts WHERE text LIKE '10.%'"
+    )
 
     sqls["embed_topk"] = """
 WITH q AS (

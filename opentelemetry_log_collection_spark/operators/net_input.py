@@ -1,0 +1,414 @@
+"""tcp_input / udp_input — the reference's network listeners
+(operator/input/tcp/tcp.go, operator/input/udp/udp.go), re-expressed
+for a distributed batch/streaming engine.
+
+The reference BINDS a listen address, accepts pushed log streams,
+splits them with the shared multiline splitter, and emits entries
+with optional ``net.*`` attributes (tcp.go:263-276, udp.go:183-189).
+A socket accept loop is inherently a single-process ingest point — in
+the reference too (one goroutine pool per listener) — so the Spark
+design splits the operator in two:
+
+  1. ``NetListenerBridge`` — a driver-side listener (TCP accept loop /
+     UDP datagram receiver) that performs the PROTOCOL work the
+     cluster cannot: accept, charset decode, incremental multiline
+     split (same semantics as file_input's byte-stream splitter),
+     ``net.*`` attribute capture. Completed entries append to a spool
+     directory as JSON lines via atomic rename, so readers never see
+     half a file.
+  2. The ``tcp_input``/``udp_input`` stages — scan the spool with the
+     ordinary distributed reader (``spark.read.json`` with an explicit
+     schema; ``stream()`` gives the ``readStream`` equivalent), then
+     map to entries exactly like every other source. Everything after
+     the socket is cluster-parallel: at 100 TB the spool is the
+     landing zone (in production: object storage written by N
+     independent listener processes), and Spark scans it with full
+     partition parallelism — the listener is never a shuffle
+     participant.
+
+TLS (tcp.go:124-143) is out of scope: no certificates exist in this
+sandbox; the config key is rejected loudly rather than ignored.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import socket
+import tempfile
+import threading
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..entry import to_entries
+from ..pipeline import Stage, register
+from .io import _ENCODINGS, stamp
+
+DEFAULT_MAX_LOG_SIZE = 1024 * 1024  # tcp.go:40-42
+
+#: spool record schema — what the bridge writes and the scan reads
+SPOOL_SCHEMA = T.StructType(
+    [
+        T.StructField("conn_id", T.StringType()),
+        T.StructField("seq", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("net", T.MapType(T.StringType(), T.StringType())),
+    ]
+)
+
+
+class _Splitter:
+    """Incremental byte-stream splitter with the reference's multiline
+    semantics (helper/multiline.go): newline split by default; with
+    ``line_start_pattern`` a matching line STARTS a new entry (leading
+    non-matching lines form one entry); with ``line_end_pattern`` a
+    matching line ENDS the entry. ``max_log_size`` force-flushes an
+    oversized pending buffer (tcp.go buffers at most MaxLogSize)."""
+
+    def __init__(self, line_start: str | None, line_end: str | None,
+                 max_log_size: int):
+        if line_start and line_end:
+            raise ValueError(
+                "at most one of line_start_pattern / line_end_pattern"
+            )
+        self.start = re.compile(line_start) if line_start else None
+        self.end = re.compile(line_end) if line_end else None
+        self.max = max_log_size
+        self._buf = ""          # undelivered partial line
+        self._group: list[str] = []  # completed lines awaiting a boundary
+
+    def feed(self, text: str) -> list[str]:
+        """Consume decoded text, return completed entries."""
+        out: list[str] = []
+        self._buf += text
+        *lines, self._buf = self._buf.split("\n")
+        for ln in lines:
+            ln = ln.rstrip("\r")
+            if self.start is not None:
+                if self.start.search(ln) and self._group:
+                    out.append("\n".join(self._group))
+                    self._group = []
+                self._group.append(ln)
+            elif self.end is not None:
+                self._group.append(ln)
+                if self.end.search(ln):
+                    out.append("\n".join(self._group))
+                    self._group = []
+            else:
+                out.append(ln)
+            if sum(len(g) for g in self._group) > self.max:
+                out.append("\n".join(self._group))
+                self._group = []
+        if len(self._buf) > self.max:
+            out.append(self._buf)
+            self._buf = ""
+        return out
+
+    def flush(self) -> list[str]:
+        """Connection closed: emit whatever is pending (a bufio
+        scanner emits the final unterminated token at EOF)."""
+        out: list[str] = []
+        if self._buf:
+            self._group.append(self._buf.rstrip("\r"))
+            self._buf = ""
+        if self._group:
+            out.append("\n".join(self._group))
+            self._group = []
+        return out
+
+
+class NetListenerBridge:
+    """Bind a TCP or UDP listen address and spool completed entries as
+    JSON-line files (atomic rename per flush). One bridge per listen
+    address, driver-side — the distributed part is the spool SCAN."""
+
+    def __init__(
+        self,
+        spool_dir: str,
+        protocol: str = "tcp",
+        host: str = "127.0.0.1",
+        port: int = 0,
+        encoding: str = "utf8",
+        line_start: str | None = None,
+        line_end: str | None = None,
+        max_log_size: int = DEFAULT_MAX_LOG_SIZE,
+        add_attributes: bool = False,
+    ):
+        if protocol not in ("tcp", "udp"):
+            raise ValueError(f"unsupported protocol {protocol!r}")
+        if encoding.lower() not in _ENCODINGS:
+            raise ValueError(f"unsupported encoding {encoding!r}")
+        # python codec names: the JVM charset table maps 1:1 here;
+        # 'nop' = latin-1 identity, same as the file_input path
+        self.codec = {
+            "UTF-8": "utf-8", "US-ASCII": "ascii", "UTF-16": "utf-16",
+            "UTF-16LE": "utf-16-le", "UTF-16BE": "utf-16-be",
+            "ISO-8859-1": "latin-1",
+        }[_ENCODINGS[encoding.lower()]]
+        self.spool_dir = spool_dir
+        os.makedirs(spool_dir, exist_ok=True)
+        self.protocol = protocol
+        self.host, self.port = host, port
+        self.line_start, self.line_end = line_start, line_end
+        self.max_log_size = max_log_size
+        self.add_attributes = add_attributes
+        self._n_flush = 0
+        self._lock = threading.Lock()
+        self._threads: list[threading.Thread] = []
+        self._stopping = threading.Event()
+        self._sock: socket.socket | None = None
+
+    # ---- spool writing ----------------------------------------------
+
+    def _write_records(self, records: list[dict]) -> None:
+        if not records:
+            return
+        with self._lock:
+            n = self._n_flush
+            self._n_flush += 1
+        final = os.path.join(self.spool_dir, f"spool-{n:08d}.json")
+        fd, tmp = tempfile.mkstemp(dir=self.spool_dir, suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            for r in records:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, final)  # readers never see a partial file
+
+    def _net_attrs(self, peer, transport: str) -> dict:
+        # tcp.go:263-276 / udp.go:183-189 semconv attributes
+        if not self.add_attributes:
+            return {}
+        attrs = {"net.transport": transport}
+        if peer is not None:
+            attrs["net.peer.ip"] = str(peer[0])
+            attrs["net.peer.port"] = str(peer[1])
+        attrs["net.host.ip"] = str(self.host)
+        attrs["net.host.port"] = str(self.port)
+        return attrs
+
+    # ---- tcp ---------------------------------------------------------
+
+    def _serve_tcp_conn(self, conn: socket.socket, peer) -> None:
+        conn_id = f"tcp://{peer[0]}:{peer[1]}"
+        attrs = self._net_attrs(peer, "IP.TCP")
+        splitter = _Splitter(self.line_start, self.line_end, self.max_log_size)
+        seq = 0
+        raw = b""
+
+        def emit(entries: list[str]) -> None:
+            nonlocal seq
+            recs = []
+            for e in entries:
+                recs.append(
+                    {"conn_id": conn_id, "seq": seq, "text": e, "net": attrs}
+                )
+                seq += 1
+            self._write_records(recs)
+
+        try:
+            while not self._stopping.is_set():
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                raw += chunk
+                # decode what is decodable; keep an undecodable tail
+                # (a multibyte char split across recv boundaries)
+                for cut in range(len(raw), max(len(raw) - 4, -1), -1):
+                    try:
+                        text = raw[:cut].decode(self.codec)
+                        raw = raw[cut:]
+                        break
+                    except UnicodeDecodeError:
+                        continue
+                else:
+                    continue
+                emit(splitter.feed(text))
+        finally:
+            if raw:
+                emit(splitter.feed(raw.decode(self.codec, errors="replace")))
+            emit(splitter.flush())
+            conn.close()
+
+    def _tcp_accept_loop(self) -> None:
+        self._sock.settimeout(0.2)
+        while not self._stopping.is_set():
+            try:
+                conn, peer = self._sock.accept()
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            t = threading.Thread(
+                target=self._serve_tcp_conn, args=(conn, peer), daemon=True
+            )
+            t.start()
+            self._threads.append(t)
+
+    # ---- udp ---------------------------------------------------------
+
+    def _udp_loop(self) -> None:
+        self._sock.settimeout(0.2)
+        per_peer_seq: dict[str, int] = {}
+        while not self._stopping.is_set():
+            try:
+                data, peer = self._sock.recvfrom(65536)
+            except socket.timeout:
+                continue
+            except OSError:
+                break
+            conn_id = f"udp://{peer[0]}:{peer[1]}"
+            attrs = self._net_attrs(peer, "IP.UDP")
+            # each datagram is split independently (udp.go:167: a fresh
+            # scanner per datagram); the final unterminated token flushes
+            sp = _Splitter(self.line_start, self.line_end, self.max_log_size)
+            entries = sp.feed(data.decode(self.codec, errors="replace"))
+            entries += sp.flush()
+            seq = per_peer_seq.get(conn_id, 0)
+            recs = []
+            for e in entries:
+                recs.append(
+                    {"conn_id": conn_id, "seq": seq, "text": e, "net": attrs}
+                )
+                seq += 1
+            per_peer_seq[conn_id] = seq
+            self._write_records(recs)
+
+    # ---- lifecycle ---------------------------------------------------
+
+    def start(self) -> "NetListenerBridge":
+        if self.protocol == "tcp":
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+            self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+            self._sock.bind((self.host, self.port))
+            self.port = self._sock.getsockname()[1]
+            self._sock.listen(32)
+            t = threading.Thread(target=self._tcp_accept_loop, daemon=True)
+        else:
+            self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            self._sock.bind((self.host, self.port))
+            self.port = self._sock.getsockname()[1]
+            t = threading.Thread(target=self._udp_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        return self
+
+    def stop(self, drain_s: float = 0.5) -> None:
+        time.sleep(drain_s)  # let in-flight handlers finish their reads
+        self._stopping.set()
+        if self._sock is not None:
+            try:
+                self._sock.close()
+            except OSError:
+                pass
+        for t in self._threads:
+            t.join(timeout=2.0)
+
+
+class _NetInputStage(Stage):
+    """Shared scan half of tcp_input/udp_input: distributed read of
+    the bridge's spool -> entry frame (+ net.* attrs merge)."""
+
+    protocol = "tcp"
+
+    def __init__(
+        self,
+        listen_address: str = "127.0.0.1:0",
+        spool_dir: str | None = None,
+        encoding: str = "utf8",
+        multiline: dict | None = None,
+        max_log_size: int = DEFAULT_MAX_LOG_SIZE,
+        add_attributes: bool = False,
+        tls: dict | None = None,
+        attributes: dict | None = None,
+        resource: dict | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        if tls:
+            raise ValueError(
+                "tls is not supported (no certificates in this "
+                "environment); terminate TLS in front of the listener"
+            )
+        host, _, port = listen_address.rpartition(":")
+        multiline = multiline or {}
+        self.spool_dir = spool_dir or tempfile.mkdtemp(
+            prefix=f"{self.protocol}_spool_"
+        )
+        self.bridge = NetListenerBridge(
+            self.spool_dir,
+            protocol=self.protocol,
+            host=host or "127.0.0.1",
+            port=int(port or 0),
+            encoding=encoding,
+            line_start=multiline.get("line_start_pattern"),
+            line_end=multiline.get("line_end_pattern"),
+            max_log_size=int(max_log_size),
+            add_attributes=add_attributes,
+        )
+        self.attributes = attributes
+        self.resource = resource
+
+    # the listener must be started explicitly (it owns a port):
+    #   stage.bridge.start(); ...clients push...; stage.bridge.stop()
+    # then generate()/stream() scan what landed.
+
+    def generate(self, spark: SparkSession) -> DataFrame:
+        spooled = spark.read.schema(SPOOL_SCHEMA).json(self.spool_dir)
+        return self._spool_to_entries(spooled)
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Structured-Streaming variant: the spool is a file stream —
+        new spool files become micro-batches (the production shape:
+        listener processes land files, the cluster tails them)."""
+        spooled = spark.readStream.schema(SPOOL_SCHEMA).json(self.spool_dir)
+        return self._spool_to_entries(spooled)
+
+    def _spool_to_entries(self, spooled: DataFrame) -> DataFrame:
+        df = to_entries(
+            spooled.select(
+                F.col("conn_id").alias("conv_id"),
+                F.col("seq").alias("turn_idx"),
+                F.lit("").alias("role"),
+                F.col("text").alias("text"),
+                F.lit("").alias("tool"),
+                F.lit(None).cast(T.TimestampType()).alias("ts"),
+                F.col("net").alias("_net"),
+            )
+        )
+        df = df.withColumn(
+            "attributes",
+            F.map_concat(
+                F.col("attributes"),
+                F.coalesce(
+                    F.col("_net"),
+                    F.map_from_arrays(F.array(), F.array()).cast(
+                        "map<string,string>"
+                    ),
+                ),
+            ),
+        ).drop("_net")
+        return stamp(df, self.attributes, self.resource)
+
+    def apply(self, df: DataFrame) -> DataFrame:  # source: passthrough
+        return df
+
+
+@register("tcp_input")
+class TcpInputStage(_NetInputStage):
+    """TCP listener source (tcp.go). ``listen_address: host:port``
+    (port 0 = ephemeral, read back from ``stage.bridge.port``)."""
+
+    type_name = "tcp_input"
+    protocol = "tcp"
+
+
+@register("udp_input")
+class UdpInputStage(_NetInputStage):
+    """UDP datagram source (udp.go): each datagram splits with a fresh
+    splitter, unterminated finals flush per datagram."""
+
+    type_name = "udp_input"
+    protocol = "udp"

@@ -1,0 +1,195 @@
+"""tcp_input / udp_input: listener bridge + distributed spool scan.
+
+Reference semantics under test: tcp.go (accept loop, shared splitter,
+net.* attributes tcp.go:263-276), udp.go (per-datagram splitter,
+udp.go:167,183-189), helper/multiline.go boundary modes.
+"""
+from __future__ import annotations
+
+import socket
+import time
+
+import pytest
+
+from opentelemetry_log_collection_spark.operators.net_input import (
+    TcpInputStage,
+    UdpInputStage,
+    _Splitter,
+)
+from tests.conftest import collected
+
+
+def _send_tcp(port: int, payloads: list[bytes], pause: float = 0.02):
+    c = socket.create_connection(("127.0.0.1", port), timeout=5)
+    for p in payloads:
+        c.sendall(p)
+        time.sleep(pause)
+    c.close()
+
+
+def _wait_spool(stage, n_min: int, timeout: float = 5.0):
+    """Wait until the bridge has flushed at least n_min spool files."""
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if stage.bridge._n_flush >= n_min:
+            return
+        time.sleep(0.05)
+    raise TimeoutError(f"spool never reached {n_min} flushes")
+
+
+# ---- splitter unit semantics -----------------------------------------
+
+
+def test_splitter_newline_and_partial():
+    sp = _Splitter(None, None, 1 << 20)
+    assert sp.feed("a\nb\nc") == ["a", "b"]
+    assert sp.feed("1\r\nd\n") == ["c1", "d"]
+    assert sp.flush() == []
+
+
+def test_splitter_line_start_groups():
+    sp = _Splitter(r"^START", None, 1 << 20)
+    got = sp.feed("pre1\npre2\nSTART x\ncont\nSTART y\n")
+    # leading non-matching lines form their own entry (stanza
+    # LineStartSplitFunc emits pre-match bytes as a token)
+    assert got == ["pre1\npre2", "START x\ncont"]
+    assert sp.flush() == ["START y"]
+
+
+def test_splitter_line_end_groups():
+    sp = _Splitter(None, r"END$", 1 << 20)
+    got = sp.feed("a\nb END\nc\n")
+    assert got == ["a\nb END"]
+    assert sp.flush() == ["c"]
+
+
+def test_splitter_max_log_size_force_flush():
+    sp = _Splitter(r"^S", None, 8)
+    got = sp.feed("S aaaaaaaaaa\nS b\n")
+    # the oversized pending group flushes without waiting for the next S
+    assert got == ["S aaaaaaaaaa"]
+    assert sp.flush() == ["S b"]
+
+
+# ---- tcp -------------------------------------------------------------
+
+
+def test_tcp_input_end_to_end(spark, tmp_path):
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        add_attributes=True,
+    )
+    stage.bridge.start()
+    try:
+        # one line split across sends + a multibyte char split across
+        # recv boundaries ("é" = 0xC3 0xA9) + an unterminated final
+        _send_tcp(
+            stage.bridge.port,
+            [b"hello ", b"world\ncaf", b"\xc3", b"\xa9\ntail"],
+        )
+        _wait_spool(stage, 1)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "turn_idx", "text", "attributes",
+                     order=("turn_idx",))
+    assert [r["text"] for r in rows] == ["hello world", "café", "tail"]
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+    a = rows[0]["attributes"]
+    assert a["net.transport"] == "IP.TCP"
+    assert a["net.peer.ip"] == "127.0.0.1"
+    assert a["net.host.port"] == str(stage.bridge.port)
+
+
+def test_tcp_input_multiline_and_no_attrs(spark, tmp_path):
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        multiline={"line_start_pattern": r"^\d{4}-"},
+    )
+    stage.bridge.start()
+    try:
+        _send_tcp(
+            stage.bridge.port,
+            [b"2024-01-01 boom\n  at frame1\n  at frame2\n2024-01-02 ok\n"],
+        )
+        _wait_spool(stage, 1)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "text", "attributes",
+                     order=("turn_idx",))
+    assert [r["text"] for r in rows] == [
+        "2024-01-01 boom\n  at frame1\n  at frame2",
+        "2024-01-02 ok",
+    ]
+    assert all("net.transport" not in r["attributes"] for r in rows)
+
+
+def test_tcp_two_connections_independent_sequences(spark, tmp_path):
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0", spool_dir=str(tmp_path / "spool")
+    )
+    stage.bridge.start()
+    try:
+        _send_tcp(stage.bridge.port, [b"a1\na2\n"])
+        _send_tcp(stage.bridge.port, [b"b1\n"])
+        _wait_spool(stage, 2)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "conv_id", "turn_idx", "text",
+                     order=("conv_id", "turn_idx"))
+    bodies = sorted(
+        tuple(r["text"] for r in rows if r["conv_id"] == cid)
+        for cid in {r["conv_id"] for r in rows}
+    )
+    assert bodies == [("a1", "a2"), ("b1",)]
+    # per-connection sequence restarts at 0
+    assert {r["turn_idx"] for r in rows if r["text"] == "a1"} == {0}
+    assert {r["turn_idx"] for r in rows if r["text"] == "b1"} == {0}
+
+
+def test_tls_rejected_loudly(tmp_path):
+    with pytest.raises(ValueError, match="tls"):
+        TcpInputStage(
+            listen_address="127.0.0.1:0",
+            spool_dir=str(tmp_path / "s"),
+            tls={"cert_file": "/nope"},
+        )
+
+
+# ---- udp -------------------------------------------------------------
+
+
+def test_udp_datagrams_split_independently(spark, tmp_path):
+    stage = UdpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        add_attributes=True,
+    )
+    stage.bridge.start()
+    try:
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        addr = ("127.0.0.1", stage.bridge.port)
+        # udp.go:167 — fresh scanner per datagram: the unterminated
+        # tail of datagram 1 must NOT join datagram 2
+        c.sendto(b"one\ntwo", addr)
+        c.sendto(b"three\n", addr)
+        c.close()
+        _wait_spool(stage, 2)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "turn_idx", "text", "attributes",
+                     order=("turn_idx",))
+    assert [r["text"] for r in rows] == ["one", "two", "three"]
+    assert [r["turn_idx"] for r in rows] == [0, 1, 2]
+    assert rows[0]["attributes"]["net.transport"] == "IP.UDP"
+
+
+def test_net_stream_builds(spark, tmp_path):
+    """stream() must construct a valid streaming plan over the spool."""
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0", spool_dir=str(tmp_path / "spool")
+    )
+    sdf = stage.stream(spark)
+    assert sdf.isStreaming
+    assert "text" in sdf.columns and "attributes" in sdf.columns
