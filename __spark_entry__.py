@@ -1074,6 +1074,181 @@ def q_tcp_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stage.generate(spark).select("text")
 
 
+def q_journald_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """journald_input end to end (journald.go:188-231): transcript
+    turns serialized as journalctl -o json export lines (MESSAGE /
+    PRIORITY / _SYSTEMD_UNIT / __CURSOR / __REALTIME_TIMESTAMP),
+    written to disk, then decoded by the real operator with the
+    default priority=info filter. Oracle: the same derivations
+    straight from the table, WHERE turn_idx % 8 <= 6 (info drops
+    priority-7/debug lines)."""
+    import tempfile
+
+    from opentelemetry_log_collection_spark.operators.journald import (
+        JournaldInputStage,
+    )
+
+    t = materialized_transcripts(spark, sf_dir)
+    export = t.select(
+        F.to_json(
+            F.struct(
+                F.col("text").alias("MESSAGE"),
+                (F.col("turn_idx") % 8).cast("string").alias("PRIORITY"),
+                F.concat(F.col("role"), F.lit(".service")).alias(
+                    "_SYSTEMD_UNIT"
+                ),
+                F.concat_ws(
+                    "-", F.col("conv_id"), F.col("turn_idx").cast("string")
+                ).alias("__CURSOR"),
+                F.unix_micros(
+                    F.col("ts").cast("timestamp_ltz")
+                ).cast("string").alias("__REALTIME_TIMESTAMP"),
+            )
+        ).alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="journald_ingest_")
+    export.write.mode("overwrite").text(work)
+    stage = JournaldInputStage(files=f"{work}/part-*")
+    out = stage.generate(spark)
+    return out.select(
+        F.try_element_at("body", F.lit("__CURSOR")).alias("cursor"),
+        F.col("text").alias("message"),
+        F.try_element_at("body", F.lit("_SYSTEMD_UNIT")).alias("unit"),
+        F.try_element_at("body", F.lit("PRIORITY"))
+        .cast("int")
+        .alias("priority"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
+def q_k8s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k8s_event_input end to end (k8s_event.go:259-332): transcript
+    turns serialized as watch-event JSON lines (type + object with
+    involvedObject/kind cycling through the populateResource switch,
+    eventTime from ts), decoded by the real operator. Verifies the
+    timestamp, the event_type attribute, and the per-kind resource
+    population (Container gets name only)."""
+    import tempfile
+
+    from opentelemetry_log_collection_spark.operators.k8s_event import (
+        KIND_RESOURCE,
+        K8sEventInputStage,
+    )
+
+    kinds = list(KIND_RESOURCE)  # Pod, Container, ReplicaSet, ...
+    t = materialized_transcripts(spark, sf_dir)
+    kind = F.element_at(
+        F.array(*[F.lit(k) for k in kinds]),
+        (F.col("turn_idx") % 8 + 1).cast("int"),
+    )
+    typ = F.element_at(
+        F.array(F.lit("ADDED"), F.lit("MODIFIED"), F.lit("DELETED")),
+        (F.col("turn_idx") % 3 + 1).cast("int"),
+    )
+    export = t.select(
+        F.to_json(
+            F.struct(
+                typ.alias("type"),
+                F.struct(
+                    F.struct(
+                        kind.alias("kind"),
+                        F.col("conv_id").alias("name"),
+                        F.concat_ws(
+                            "-",
+                            F.col("conv_id"),
+                            F.col("turn_idx").cast("string"),
+                        ).alias("uid"),
+                        F.col("role").alias("namespace"),
+                    ).alias("involvedObject"),
+                    F.date_format(
+                        F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
+                    ).alias("eventTime"),
+                    F.col("text").alias("message"),
+                ).alias("object"),
+            )
+        ).alias("value")
+    )
+    work = tempfile.mkdtemp(prefix="k8s_ingest_")
+    export.write.mode("overwrite").text(work)
+    stage = K8sEventInputStage(files=f"{work}/part-*")
+    out = stage.generate(spark)
+    res = F.col("resource")
+    name_keys = [f"{p}.name" for p, _ in KIND_RESOURCE.values()]
+    uid_keys = [f"{p}.uid" for p, w in KIND_RESOURCE.values() if w]
+    return out.select(
+        F.try_element_at("attributes", F.lit("event_type")).alias(
+            "event_type"
+        ),
+        F.try_element_at(res, F.lit("k8s.namespace.name")).alias("ns"),
+        F.coalesce(
+            *[F.try_element_at(res, F.lit(k)) for k in name_keys]
+        ).alias("obj_name"),
+        F.coalesce(
+            *[F.try_element_at(res, F.lit(k)) for k in uid_keys],
+            F.lit(""),
+        ).alias("obj_uid"),
+        F.try_element_at("body", F.lit("message")).alias("message"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
+def q_windows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windows_eventlog_input end to end (operator.go + xml.go):
+    transcript turns serialized as rendered Windows event XML (one
+    <Event> per line; Level cycles 1-4, Channel derives from role),
+    decoded by the real operator through Spark's builtin from_xml.
+    Verifies the body map, the numeric-level severity mapping, and
+    the RFC3339 microsecond timestamp."""
+    import tempfile
+
+    from opentelemetry_log_collection_spark.operators.windows_eventlog import (
+        WindowsEventLogInputStage,
+    )
+
+    t = materialized_transcripts(spark, sf_dir)
+    channel = (
+        F.when(F.col("role") == "user", "Application")
+        .when(F.col("role") == "assistant", "System")
+        .otherwise("Setup")
+    )
+    level = (F.col("turn_idx") % 4 + 1).cast("string")
+    xml = F.format_string(
+        "<Event><System>"
+        '<Provider Name="prov-%s"/>'
+        '<EventID Qualifiers="0">%s</EventID>'
+        "<Level>%s</Level><Task>1</Task><Opcode>0</Opcode>"
+        '<TimeCreated SystemTime="%s"/>'
+        "<EventRecordID>%s</EventRecordID>"
+        "<Channel>%s</Channel><Computer>%s</Computer>"
+        "</System></Event>",
+        F.col("role"),
+        ((F.col("turn_idx") * 7) % 1000).cast("string"),
+        level,
+        F.date_format(F.col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        F.col("turn_idx").cast("string"),
+        channel,
+        F.col("conv_id"),
+    )
+    work = tempfile.mkdtemp(prefix="windows_ingest_")
+    t.select(xml.alias("value")).write.mode("overwrite").text(work)
+    stage = WindowsEventLogInputStage(files=f"{work}/part-*")
+    out = stage.generate(spark)
+    b = F.col("body")
+    return out.select(
+        F.try_element_at(b, F.lit("computer")).alias("computer"),
+        F.try_element_at(b, F.lit("channel")).alias("channel"),
+        F.try_element_at(b, F.lit("record_id")).cast("bigint").alias(
+            "record_id"
+        ),
+        F.try_element_at(b, F.lit("level")).alias("level"),
+        F.col("severity").alias("severity"),
+        F.get_json_object(
+            F.try_element_at(b, F.lit("event_id")), "$.id"
+        ).cast("bigint").alias("event_id"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+    )
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -1132,6 +1307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_routed": q_streaming_routed,
         "streaming_recombine": q_streaming_recombine,
         "tcp_ingest": q_tcp_ingest,
+        "journald_ingest": q_journald_ingest,
+        "k8s_ingest": q_k8s_ingest,
+        "windows_ingest": q_windows_ingest,
     }
 
 
@@ -1856,6 +2034,44 @@ WHERE list_dot_product(va.vv, vb.vv)
     sqls["tcp_ingest"] = (
         f"{ORACLE_CTE} SELECT text FROM transcripts WHERE text LIKE '10.%'"
     )
+
+    # journald export round-trip: the operator must reproduce every
+    # field it serialized, minus the priority>info (debug) lines the
+    # default filter drops
+    sqls["journald_ingest"] = f"""{ORACLE_CTE}
+SELECT conv_id || '-' || CAST(turn_idx AS VARCHAR) AS cursor,
+       text AS message,
+       role || '.service' AS unit,
+       CAST(turn_idx % 8 AS INTEGER) AS priority,
+       epoch_us(ts) AS ts_us
+FROM transcripts WHERE turn_idx % 8 <= 6"""
+
+    # k8s watch round-trip: kind cycles the populateResource switch;
+    # Container is the one kind with no uid resource key
+    sqls["k8s_ingest"] = f"""{ORACLE_CTE}
+SELECT CASE turn_idx % 3 WHEN 0 THEN 'ADDED' WHEN 1 THEN 'MODIFIED'
+            ELSE 'DELETED' END AS event_type,
+       role AS ns,
+       conv_id AS obj_name,
+       CASE WHEN turn_idx % 8 = 1 THEN ''
+            ELSE conv_id || '-' || CAST(turn_idx AS VARCHAR) END AS obj_uid,
+       text AS message,
+       epoch_us(ts) AS ts_us
+FROM transcripts"""
+
+    # windows event XML round-trip: numeric Level 1-4 maps to
+    # Fatal/Error/Warning/Info severities (xml.go:76-88)
+    sqls["windows_ingest"] = f"""{ORACLE_CTE}
+SELECT conv_id AS computer,
+       CASE role WHEN 'user' THEN 'Application' WHEN 'assistant' THEN 'System'
+            ELSE 'Setup' END AS channel,
+       CAST(turn_idx AS BIGINT) AS record_id,
+       CAST(turn_idx % 4 + 1 AS VARCHAR) AS level,
+       CAST(CASE turn_idx % 4 + 1 WHEN 1 THEN 21 WHEN 2 THEN 17
+            WHEN 3 THEN 13 ELSE 9 END AS INTEGER) AS severity,
+       CAST((turn_idx * 7) % 1000 AS BIGINT) AS event_id,
+       epoch_us(ts) AS ts_us
+FROM transcripts"""
 
     sqls["embed_topk"] = """
 WITH q AS (
