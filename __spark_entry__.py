@@ -1249,6 +1249,39 @@ def q_windows_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based stratified sampling (sampling.py):
+    per-language keep rates as a codegen md5-threshold filter — zero
+    shuffle, reproducible under retries and re-partitioning, unlike
+    Bernoulli sample(). Unknown strata (zh here) drop via the 0.0
+    default. Oracle: the identical md5-prefix comparison in DuckDB."""
+    from opentelemetry_log_collection_spark.sampling import stratified_sample
+
+    return stratified_sample(
+        _documents(spark, sf_dir),
+        strata_col="lang",
+        rates={"en": 0.5, "de": 0.25, "fr": 0.1, "es": 0.75},
+        key_col="doc_id",
+        seed=7,
+    ).select("doc_id", "lang")
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (sampling.py): corpus documents
+    sharing any 4-gram with the held-out set (doc_id % 10 == 0 stands
+    in for an eval suite). Join key is xxhash64(gram) with a string
+    equality guard; the benchmark gram set is broadcast. Output: the
+    contaminated doc ids with their distinct shared-gram counts."""
+    from opentelemetry_log_collection_spark.sampling import decontaminate
+
+    docs = _documents(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return decontaminate(corpus, bench, n=4).select(
+        "doc_id", F.col("n_shared").cast("bigint").alias("n_shared")
+    )
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -1310,6 +1343,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "journald_ingest": q_journald_ingest,
         "k8s_ingest": q_k8s_ingest,
         "windows_ingest": q_windows_ingest,
+        "sample_stratified": q_sample_stratified,
+        "decontaminate": q_decontaminate,
     }
 
 
@@ -2058,6 +2093,31 @@ SELECT CASE turn_idx % 3 WHEN 0 THEN 'ADDED' WHEN 1 THEN 'MODIFIED'
        text AS message,
        epoch_us(ts) AS ts_us
 FROM transcripts"""
+
+    # deterministic sampling: the oracle computes the IDENTICAL
+    # md5-prefix coordinate, so the sampled sets must match exactly
+    # (thresholds: rate * 2^32 in hex — 0.5/0.25/0.1/0.75)
+    sqls["sample_stratified"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN '40000000'
+                WHEN 'fr' THEN '19999999' WHEN 'es' THEN 'c0000000'
+                ELSE '00000000' END"""
+
+    sqls["decontaminate"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS g
+  FROM w, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)
+), bench AS (
+  SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0
+), corp AS (
+  SELECT DISTINCT doc_id, g FROM g WHERE doc_id % 10 <> 0
+)
+SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
+FROM corp JOIN bench USING (g) GROUP BY 1"""
 
     # windows event XML round-trip: numeric Level 1-4 maps to
     # Fatal/Error/Warning/Info severities (xml.go:76-88)

@@ -110,6 +110,7 @@ def main() -> None:
         "embed_topk",
         "ann_lsh",
         "ann_ivf",
+        "decontaminate",
     ]
     qmap = E.queries()
     for name in bench_queries:
