@@ -1282,6 +1282,18 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (packing.py): the corpus as
+    one token stream cut into 512-token context windows, each doc
+    assigned its global offset and chunk span. The global prefix sum
+    runs two-phase (range partitions + broadcast offsets) — no
+    whole-corpus single-task window. Oracle: the same running sum as
+    one SQL window (DuckDB can afford it at oracle scale)."""
+    from opentelemetry_log_collection_spark.packing import pack_sequences
+
+    return pack_sequences(_documents(spark, sf_dir), budget=512)
+
+
 # --------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------
@@ -1345,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_ingest": q_windows_ingest,
         "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -2118,6 +2131,30 @@ WITH w AS (
 )
 SELECT corp.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_shared
 FROM corp JOIN bench USING (g) GROUP BY 1"""
+
+    # packing: identical running-sum arithmetic as one SQL window
+    sqls["pack_sequences"] = r"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS token_offset
+  FROM t
+)
+SELECT doc_id, n_tokens, token_offset,
+       CAST(floor(token_offset / 512) AS BIGINT) AS first_chunk,
+       CAST(floor((token_offset + n_tokens - 1) / 512) AS BIGINT)
+         AS last_chunk,
+       CAST(CASE WHEN n_tokens > 0
+            THEN floor((token_offset + n_tokens - 1) / 512)
+                 - floor(token_offset / 512) + 1
+            ELSE 0 END AS BIGINT) AS n_chunks
+FROM c"""
 
     # windows event XML round-trip: numeric Level 1-4 maps to
     # Fatal/Error/Warning/Info severities (xml.go:76-88)

@@ -111,6 +111,7 @@ def main() -> None:
         "ann_lsh",
         "ann_ivf",
         "decontaminate",
+        "pack_sequences",
     ]
     qmap = E.queries()
     for name in bench_queries:
