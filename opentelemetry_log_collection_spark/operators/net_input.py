@@ -412,3 +412,46 @@ class UdpInputStage(_NetInputStage):
 
     type_name = "udp_input"
     protocol = "udp"
+
+
+@register("syslog_input")
+class SyslogInputStage(Stage):
+    """Composite source (operator/input/syslog/syslog.go:45-133): an
+    internal tcp_input or udp_input wired straight into an internal
+    syslog_parser — exactly the reference's build, which instantiates
+    the two operators and points the listener's output at the parser.
+    Exactly one of ``tcp:``/``udp:`` must be configured
+    (syslog.go:103)."""
+
+    type_name = "syslog_input"
+
+    def __init__(
+        self,
+        tcp: dict | None = None,
+        udp: dict | None = None,
+        protocol: str = "rfc3164",
+        location: str = "UTC",
+        now: str | None = None,
+        **kw,
+    ):
+        super().__init__(**kw)
+        if (tcp is None) == (udp is None):
+            raise ValueError("need tcp config or udp config")
+        from .parsers import SyslogParserStage
+
+        cls = TcpInputStage if tcp is not None else UdpInputStage
+        self.source = cls(**(tcp or udp))
+        self.bridge = self.source.bridge  # start()/stop() pass-through
+        parser_kw = {"protocol": protocol, "location": location}
+        if now is not None:
+            parser_kw["now"] = now
+        self.parser = SyslogParserStage(**parser_kw)
+
+    def generate(self, spark: SparkSession) -> DataFrame:
+        return self.parser.apply(self.source.generate(spark))
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        return self.parser.apply(self.source.stream(spark))
+
+    def apply(self, df: DataFrame) -> DataFrame:  # source: passthrough
+        return df

@@ -185,6 +185,48 @@ def test_udp_datagrams_split_independently(spark, tmp_path):
     assert rows[0]["attributes"]["net.transport"] == "IP.UDP"
 
 
+def test_syslog_input_composite(spark, tmp_path):
+    """syslog_input = internal tcp_input -> internal syslog_parser
+    (syslog.go:45-133): RFC3164 lines pushed over a real socket come
+    out parsed, with the priority split into facility/severity."""
+    from opentelemetry_log_collection_spark.operators.net_input import (
+        SyslogInputStage,
+    )
+
+    stage = SyslogInputStage(
+        tcp={"listen_address": "127.0.0.1:0",
+             "spool_dir": str(tmp_path / "spool")},
+        protocol="rfc3164",
+    )
+    stage.bridge.start()
+    try:
+        _send_tcp(
+            stage.bridge.port,
+            [b"<34>Jan 12 06:30:00 host1 app[42]: something failed\n"],
+        )
+        _wait_spool(stage.source, 1)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "attributes", "severity",
+                     order=("turn_idx",))
+    a = rows[0]["attributes"]
+    assert a["hostname"] == "host1"
+    assert a["appname"] == "app"
+    assert a["message"] == "something failed"
+    assert rows[0]["severity"] is not None
+
+
+def test_syslog_input_requires_exactly_one_transport(tmp_path):
+    from opentelemetry_log_collection_spark.operators.net_input import (
+        SyslogInputStage,
+    )
+
+    with pytest.raises(ValueError, match="tcp config or udp config"):
+        SyslogInputStage()
+    with pytest.raises(ValueError, match="tcp config or udp config"):
+        SyslogInputStage(tcp={}, udp={})
+
+
 def test_net_stream_builds(spark, tmp_path):
     """stream() must construct a valid streaming plan over the spool."""
     stage = TcpInputStage(
