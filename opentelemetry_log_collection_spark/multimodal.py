@@ -834,12 +834,21 @@ def sample_frames(
                 payload = bytes(payload)
                 aid = int(aid)
                 if payload[:4] == b"RIFF":
-                    _, real = demux_avi(payload)
-                    for k, fr in enumerate(real[:max_frames]):
-                        ids.append(aid)
-                        idxs.append(k)
-                        frames.append(fr)
-                    continue
+                    try:
+                        _, real = demux_avi(payload)
+                    except ValueError:
+                        # RIFF but not decodable (compressed stream,
+                        # RIFF/WAVE, truncated): strict surfaces it,
+                        # non-strict falls back like any other payload
+                        if strict:
+                            raise
+                        real = None
+                    if real is not None:
+                        for k, fr in enumerate(real[:max_frames]):
+                            ids.append(aid)
+                            idxs.append(k)
+                            frames.append(fr)
+                        continue
                 if strict:
                     raise ValueError("not an AVI container; no codec available")
                 for k in range(min(max_frames, len(payload) // every_n_bytes)):

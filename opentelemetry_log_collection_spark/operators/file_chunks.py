@@ -266,7 +266,10 @@ def number_and_group(
         )
     d = d.withColumn("_lcum", lcum)
     # one materialization feeds the counts aggregate and the row side
-    # (same determinism rationale as recombine._tag_default_bucket)
+    # (same determinism rationale as recombine._tag_default_bucket).
+    # Lifetime note: the cache entry lives until the session clears it
+    # (Dataset caches are not GC-reclaimed); long-lived sessions doing
+    # many ingest runs should spark.catalog.clearCache() between runs.
     d = d.persist(StorageLevel.MEMORY_AND_DISK)
     totals = d.groupBy("path", "chunk_idx").agg(
         F.sum(m).alias("_mc"), F.count(F.lit(1)).alias("_nc")
@@ -315,16 +318,32 @@ def number_and_group(
 def count_new_lines(
     spark: SparkSession, plans: list[dict], chunk_bytes: int
 ) -> dict:
-    """Lines per file in this run's byte ranges — a tiny counting job
-    over the SAME chunk plan (re-reads only the new region), used by
-    commit() to advance each file's n_lines."""
+    """Lines per file in this run's byte ranges, used by commit() to
+    advance each file's n_lines. Re-reads the new region's bytes (the
+    unavoidable cost of counting after the sink owns the data) but
+    does ONLY that: per-chunk boundary-aligned line counts, no decode,
+    no per-line rows — one output row per chunk."""
     chunks = plan_chunks(plans, chunk_bytes)
     if not chunks:
         return {}
+    n_part = max(1, min(len(chunks), spark.sparkContext.defaultParallelism))
+    cdf = spark.createDataFrame(chunks, _CHUNK_SCHEMA).repartition(n_part)
+
+    def cnt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            paths, ns = [], []
+            for path, start, end in zip(pdf["path"], pdf["start"], pdf["end"]):
+                with open(path, "rb") as f:
+                    n = len(_read_range(f, path, int(start), int(end)))
+                paths.append(path)
+                ns.append(n)
+            if paths:
+                yield pd.DataFrame({"path": paths, "n": ns})
+
     counts = (
-        chunked_lines(spark, chunks, "ISO-8859-1")  # counting: bytes only
+        cdf.mapInPandas(cnt, "path string, n long")
         .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("n").alias("n"))
         .collect()
     )
     return {r["path"]: r["n"] for r in counts}

@@ -83,7 +83,10 @@ class JournaldBridge:
             return None
 
     def _set_cursor(self, cursor: str) -> None:
-        fd, tmp = tempfile.mkstemp(dir=os.path.dirname(self.cursor_path))
+        # "_" prefix: the cursor temp lives in the scanned spool dir
+        fd, tmp = tempfile.mkstemp(
+            dir=os.path.dirname(self.cursor_path), prefix="_cur-"
+        )
         with os.fdopen(fd, "w") as f:
             f.write(cursor)
         os.rename(tmp, self.cursor_path)
@@ -113,7 +116,11 @@ class JournaldBridge:
             n = self._n_flush
             self._n_flush += 1
             final = os.path.join(self.spool_dir, f"journal-{n:08d}.json")
-            fd, tmp = tempfile.mkstemp(dir=self.spool_dir, suffix=".tmp")
+            # "_" prefix keeps the in-flight file invisible to Spark's
+            # listing; the atomic rename publishes it
+            fd, tmp = tempfile.mkstemp(
+                dir=self.spool_dir, prefix="_tmp-", suffix=".tmp"
+            )
             with os.fdopen(fd, "w") as f:
                 f.write("\n".join(kept) + "\n")
             os.rename(tmp, final)
@@ -138,8 +145,18 @@ class JournaldBridge:
         self._proc = subprocess.Popen(
             args, stdout=subprocess.PIPE, text=True
         )
+        # batch the pump: one spool file + cursor write per BATCH, not
+        # per journal line — a busy host emits thousands of lines/sec
+        # and per-line flushing would litter the spool with one-line
+        # files that every distributed listing must then pay for
+        batch: list[str] = []
         for line in self._proc.stdout:
-            self.pump([line])
+            batch.append(line)
+            if len(batch) >= 1000:
+                self.pump(batch)
+                batch = []
+        if batch:
+            self.pump(batch)
         return self._proc
 
 

@@ -171,7 +171,12 @@ class NetListenerBridge:
             n = self._n_flush
             self._n_flush += 1
         final = os.path.join(self.spool_dir, f"spool-{n:08d}.json")
-        fd, tmp = tempfile.mkstemp(dir=self.spool_dir, suffix=".tmp")
+        # "_"-prefixed temp name: Spark's file listing hides _/. files,
+        # so an in-flight write is invisible to generate()/stream() and
+        # only the atomic rename publishes it
+        fd, tmp = tempfile.mkstemp(
+            dir=self.spool_dir, prefix="_tmp-", suffix=".tmp"
+        )
         with os.fdopen(fd, "w") as f:
             for r in records:
                 f.write(json.dumps(r) + "\n")
@@ -209,8 +214,15 @@ class NetListenerBridge:
             self._write_records(recs)
 
         try:
+            # accepted sockets also time out so the loop re-checks
+            # _stopping — otherwise stop() can never end an idle
+            # connection and its pending group would be lost unflushed
+            conn.settimeout(0.2)
             while not self._stopping.is_set():
-                chunk = conn.recv(65536)
+                try:
+                    chunk = conn.recv(65536)
+                except socket.timeout:
+                    continue
                 if not chunk:
                     break
                 raw += chunk
@@ -224,6 +236,14 @@ class NetListenerBridge:
                     except UnicodeDecodeError:
                         continue
                 else:
+                    # a genuinely invalid byte (not a split multibyte
+                    # char) would otherwise wedge the decode forever
+                    # and buffer unboundedly: past max_log_size, force
+                    # the U+FFFD path and move on
+                    if len(raw) > self.max_log_size:
+                        text = raw.decode(self.codec, errors="replace")
+                        raw = b""
+                        emit(splitter.feed(text))
                     continue
                 emit(splitter.feed(text))
         finally:
@@ -260,6 +280,10 @@ class NetListenerBridge:
             except OSError:
                 break
             conn_id = f"udp://{peer[0]}:{peer[1]}"
+            # bound the per-peer sequence table: ephemeral-port senders
+            # (one socket per message) would otherwise grow it forever
+            if conn_id not in per_peer_seq and len(per_peer_seq) >= 65536:
+                per_peer_seq.pop(next(iter(per_peer_seq)))
             attrs = self._net_attrs(peer, "IP.UDP")
             # each datagram is split independently (udp.go:167: a fresh
             # scanner per datagram); the final unterminated token flushes
@@ -440,7 +464,9 @@ class SyslogInputStage(Stage):
         from .parsers import SyslogParserStage
 
         cls = TcpInputStage if tcp is not None else UdpInputStage
-        self.source = cls(**(tcp or udp))
+        # `tcp or udp` would turn an empty (all-default) tcp mapping
+        # into None; pick by identity, not truthiness
+        self.source = cls(**(tcp if tcp is not None else udp))
         self.bridge = self.source.bridge  # start()/stop() pass-through
         parser_kw = {"protocol": protocol, "location": location}
         if now is not None:

@@ -233,6 +233,9 @@ class RecombineStage(Stage):
         # typically a small fraction of the stream; a partition lost
         # and recomputed on a real cluster replays the content-derived
         # tie order, which is stable by construction (defense 1).
+        # Lifetime note: the entry lives until the session clears it
+        # (Dataset caches are not GC-reclaimed); long-lived sessions
+        # should spark.catalog.clearCache() between batch runs.
         from pyspark import StorageLevel
 
         d = d.persist(StorageLevel.MEMORY_AND_DISK)

@@ -6,24 +6,34 @@ token stream is cut into fixed-size context windows; a document's
 tokens land in chunks [first_chunk, last_chunk]. Computing that is a
 GLOBAL prefix sum over token counts — the naive
 ``Window.orderBy(doc_id)`` with no partition drags the whole corpus
-through one task, so this uses the same two-phase prefix sum as
-recombine's default-bucket tagging (operators/recombine.py:159-234):
+through one task, so this runs the two-phase prefix sum (same idea as
+recombine's default-bucket tagging, operators/recombine.py:159-234)
+with one refinement: buckets are DETERMINISTIC uniform doc_id ranges
+(from an exact min/max aggregate), not ``repartitionByRange``'s
+sampled boundaries. A pure function of doc_id means every
+re-evaluation of the plan buckets identically, so nothing needs to be
+persisted for cross-consumer consistency — no cache entry outlives
+the job — and the sampled-range exchange disappears (the window's own
+hash exchange on ``_bkt`` is the plan's ONE shuffle).
 
-  1. range-partition by doc_id — spark_partition_id is then monotonic
-     in the global order, each partition a contiguous doc_id slice;
-  2. per-slice local running sums (parallel, bounded by slice size);
-  3. a P-row totals frame (one row per partition) is cumulated on the
-     driver-sized side and broadcast back: global = local + offset.
+  1. one exact (min, max) aggregate fixes the bucket ranges;
+  2. per-bucket local running sums (parallel, bounded by slice size);
+  3. per-bucket totals — P rows — collect to the driver, cumulate,
+     and come back as a literal map probe (no join at all).
 
-One materialization (persist) feeds both the totals aggregate and the
-row side, so every consumer sees the same range boundaries. At 10^9
-documents the totals frame is still just P rows — the only
-single-task window in the plan is over those P rows.
+Cost note: the totals aggregate is a second pass over the (id, token
+count) projection. With the default whitespace counter that re-reads
+the text column once more; callers packing a corpus they already
+token-counted (e.g. a materialized token_stats output) pass
+``token_count=F.col(...)`` and both passes are cheap 2-column scans.
+
+Bucket balance assumes doc_ids are roughly dense (the usual case for
+a curated corpus). Highly clustered sparse ids skew bucket sizes —
+balance only, never correctness.
 """
 
 from __future__ import annotations
 
-from pyspark import StorageLevel
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -41,6 +51,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     text_col: str = "text",
     token_count: Column | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Assign each document its slice of the packed token stream.
 
@@ -52,43 +63,70 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
+    spark = docs.sparkSession
     n_tok = (
         token_count if token_count is not None else whitespace_tokens(F.col(text_col))
     ).cast("bigint")
-    d = (
-        docs.select(F.col(id_col), n_tok.alias("n_tokens"))
-        .repartitionByRange(F.col(id_col))
-        .withColumn("_bkt", F.spark_partition_id())
+    t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+
+    bounds = t.agg(
+        F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:  # empty corpus
+        return t.select(
+            id_col,
+            "n_tokens",
+            F.lit(0).cast("bigint").alias("token_offset"),
+            F.lit(0).cast("bigint").alias("first_chunk"),
+            F.lit(0).cast("bigint").alias("last_chunk"),
+            F.lit(0).cast("bigint").alias("n_chunks"),
+        )
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    p = n_buckets or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
+    span = hi - lo + 1
+    p = max(1, min(p, span))
+    # deterministic uniform id-range bucket: monotone in doc_id, so
+    # spark_partition-free and identical on every plan re-evaluation
+    bkt = F.floor(((F.col(id_col) - lo) * p) / span).cast("int")
+    d = t.withColumn("_bkt", bkt)
+
     wloc = Window.partitionBy("_bkt").orderBy(id_col)
     lcum = F.coalesce(
         F.sum("n_tokens").over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
         F.lit(0).cast("bigint"),
     )
-    d = d.withColumn("_lcum", lcum)
-    # one materialization: totals and the row side must agree on the
-    # (sampled, order-sensitive) range-partition boundaries
-    d = d.persist(StorageLevel.MEMORY_AND_DISK)
-    totals = d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_t"))
-    wtot = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_bkt",
-        F.coalesce(F.sum("_t").over(wtot), F.lit(0).cast("bigint")).alias(
-            "_off"
-        ),
+
+    # P-row totals: cumulate driver-side, return as a literal map probe
+    totals = {
+        r["_bkt"]: r["_t"]
+        for r in d.groupBy("_bkt").agg(F.sum("n_tokens").alias("_t")).collect()
+    }
+    acc, offsets = 0, {}
+    for b in sorted(totals):
+        offsets[b] = acc
+        acc += totals[b]
+    omap = F.create_map(
+        *[F.lit(x) for b in sorted(offsets) for x in (b, offsets[b])]
     )
-    d = d.join(F.broadcast(offsets), "_bkt")
-    off = (F.col("_off") + F.col("_lcum")).alias("token_offset")
-    first = F.floor(F.col("token_offset") / budget).alias("first_chunk")
+
+    off = (
+        F.coalesce(F.try_element_at(omap, F.col("_bkt")), F.lit(0)) + lcum
+    ).cast("bigint")
+    d = d.withColumn("token_offset", off)
+    first = F.floor(F.col("token_offset") / budget).cast("bigint")
     last = F.floor(
         (F.col("token_offset") + F.col("n_tokens") - 1) / budget
-    ).alias("last_chunk")
-    out = d.select(id_col, "n_tokens", off).select(
-        id_col, "n_tokens", "token_offset", first, last
-    )
-    return out.withColumn(
-        "n_chunks",
-        F.when(F.col("n_tokens") > 0, F.col("last_chunk") - F.col("first_chunk") + 1)
+    ).cast("bigint")
+    return d.select(
+        id_col,
+        "n_tokens",
+        "token_offset",
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        F.when(F.col("n_tokens") > 0, last - first + 1)
         .otherwise(F.lit(0))
-        .cast("bigint"),
+        .cast("bigint")
+        .alias("n_chunks"),
     )

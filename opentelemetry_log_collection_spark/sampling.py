@@ -37,10 +37,15 @@ _HEX_SPACE = 16 ** _HEX_DIGITS
 
 
 def _threshold_hex(rate: float) -> str:
-    """rate in [0,1] -> lowercase hex threshold on the md5 prefix."""
+    """rate in [0,1] -> lowercase hex threshold on the md5 prefix.
+    rate 1.0 must keep EVERY row, including the ~2^-32 of rows whose
+    prefix is exactly 'ffffffff' — 'g' sorts above every hex digit, so
+    the strict '<' comparison passes all of them."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0,1], got {rate}")
-    return format(min(int(rate * _HEX_SPACE), _HEX_SPACE - 1), f"0{_HEX_DIGITS}x")
+    if rate >= 1.0:
+        return "g"
+    return format(int(rate * _HEX_SPACE), f"0{_HEX_DIGITS}x")
 
 
 def sample_hash(key: Column, seed: int) -> Column:

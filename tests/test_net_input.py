@@ -148,6 +148,56 @@ def test_tcp_two_connections_independent_sequences(spark, tmp_path):
     assert {r["turn_idx"] for r in rows if r["text"] == "b1"} == {0}
 
 
+def test_tcp_invalid_byte_does_not_wedge_decode(spark, tmp_path):
+    """A stray non-UTF-8 byte must not stall the incremental decoder
+    forever: past max_log_size the buffer force-decodes with U+FFFD
+    and the stream keeps flowing."""
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        max_log_size=16,
+    )
+    stage.bridge.start()
+    try:
+        _send_tcp(
+            stage.bridge.port,
+            [b"\xffgarbage prefix then lines\n", b"clean line\n"],
+        )
+        _wait_spool(stage, 1)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "text", order=("turn_idx",))
+    texts = [r["text"] for r in rows]
+    assert "clean line" in texts
+    assert any("�" in t for t in texts)
+
+
+def test_spool_temp_files_hidden_from_spark(tmp_path):
+    """In-flight spool writes use a '_' prefix, which Spark's file
+    listing ignores — a reader never sees a half-written file."""
+    import os
+
+    from opentelemetry_log_collection_spark.operators.net_input import (
+        NetListenerBridge,
+    )
+
+    br = NetListenerBridge(str(tmp_path / "spool"))
+    br._write_records([{"conn_id": "c", "seq": 0, "text": "x", "net": {}}])
+    names = os.listdir(br.spool_dir)
+    assert all(n.startswith(("spool-", "_")) for n in names)
+
+
+def test_syslog_input_empty_tcp_mapping(tmp_path):
+    """tcp: {} (all defaults) must build — `tcp or udp` truthiness
+    would have turned it into None."""
+    from opentelemetry_log_collection_spark.operators.net_input import (
+        SyslogInputStage,
+    )
+
+    stage = SyslogInputStage(tcp={})
+    assert stage.source.protocol == "tcp"
+
+
 def test_tls_rejected_loudly(tmp_path):
     with pytest.raises(ValueError, match="tls"):
         TcpInputStage(

@@ -19,7 +19,9 @@ def _docs(spark, rows):
 def test_threshold_hex_edges():
     assert _threshold_hex(0.0) == "00000000"
     assert _threshold_hex(0.5) == "80000000"
-    assert _threshold_hex(1.0) == "ffffffff"  # clamped below 16^8
+    # 'g' > any hex digit: rate 1.0 keeps even prefix 'ffffffff' rows
+    assert _threshold_hex(1.0) == "g"
+    assert "ffffffff" < _threshold_hex(1.0)
     with pytest.raises(ValueError):
         _threshold_hex(1.5)
 
