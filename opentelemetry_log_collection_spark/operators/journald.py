@@ -190,11 +190,27 @@ class JournaldInputStage(Stage):
             include = [files] if isinstance(files, str) else list(files)
         else:
             raise ValueError("one of directory / files is required")
-        if isinstance(priority, str):
-            if priority not in PRIORITIES:
-                raise ValueError(f"invalid priority {priority!r}")
-            priority = PRIORITIES[priority]
-        self.priority = int(priority)
+        # journalctl --priority accepts a single level (keeps <= P,
+        # i.e. at least that severe) or a FROM..TO range
+        # (docs/operators/journald_input.md "priority: emerg..err")
+        if isinstance(priority, str) and ".." in priority:
+            lo_s, _, hi_s = priority.partition("..")
+            try:
+                lo = PRIORITIES.get(lo_s) if lo_s in PRIORITIES else int(lo_s)
+                hi = PRIORITIES.get(hi_s) if hi_s in PRIORITIES else int(hi_s)
+            except ValueError:
+                raise ValueError(f"invalid priority range {priority!r}")
+            self.prio_lo, self.prio_hi = int(lo), int(hi)
+        else:
+            if isinstance(priority, str):
+                if priority not in PRIORITIES:
+                    raise ValueError(f"invalid priority {priority!r}")
+                priority = PRIORITIES[priority]
+            self.prio_lo, self.prio_hi = 0, int(priority)
+        if self.prio_lo > self.prio_hi:
+            raise ValueError(
+                f"priority range is inverted: {self.prio_lo}..{self.prio_hi}"
+            )
         self.units = list(units or [])
         self.reader = FileInputStage(
             include=include, include_file_name=False
@@ -224,15 +240,13 @@ class JournaldInputStage(Stage):
                     F.col("_obj"), F.lit("_SYSTEMD_UNIT")
                 ).isin(self.units)
             )
-        df = df.filter(
-            F.coalesce(
-                F.try_element_at(
-                    F.col("_obj"), F.lit("PRIORITY")
-                ).try_cast("int"),
-                F.lit(PRIORITIES["info"]),
-            )
-            <= F.lit(self.priority)
+        prio = F.coalesce(
+            F.try_element_at(
+                F.col("_obj"), F.lit("PRIORITY")
+            ).try_cast("int"),
+            F.lit(PRIORITIES["info"]),
         )
+        df = df.filter(prio.between(self.prio_lo, self.prio_hi))
         df = (
             df.withColumn(
                 "body",

@@ -78,6 +78,22 @@ def test_journald_priority_numeric_and_no_units(spark, tmp_path):
     assert [r["text"] for r in rows] == ["sev3"]
 
 
+def test_journald_priority_range(spark, tmp_path):
+    """priority: crit..warning keeps only [2, 4]
+    (docs/operators/journald_input.md range syntax)."""
+    p = tmp_path / "j.json"
+    p.write_text(
+        "\n".join(
+            _journal_line(f"sev{i}", 1000 + i, f"c{i}", PRIORITY=str(i))
+            for i in range(8)
+        )
+        + "\n"
+    )
+    stage = JournaldInputStage(files=str(p), priority="crit..warning")
+    rows = collected(stage.generate(spark), "text", order=("turn_idx",))
+    assert [r["text"] for r in rows] == ["sev2", "sev3", "sev4"]
+
+
 def test_journald_bridge_pump_and_cursor(tmp_path):
     br = JournaldBridge(str(tmp_path / "spool"))
     n = br.pump(

@@ -210,3 +210,41 @@ def test_golden_file_input_multiline():
     assert s.charset == "UTF-16LE"
     assert s.line_start == "Start" and s.line_end is None
     assert s.include_file_name
+
+
+def test_golden_tcp_input():
+    s = build_stage(load("tcp_input.yaml"))
+    assert s.protocol == "tcp"
+    assert s.bridge.add_attributes
+    assert s.bridge.line_start == r"^\d{4}-"
+
+
+def test_golden_journald_input():
+    s = build_stage(load("journald_input.yaml"))
+    assert s.units == ["ssh", "kubelet"]
+    assert (s.prio_lo, s.prio_hi) == (0, 6)  # info
+    assert s.reader.include == ["/var/log/journal/export.json"]
+
+
+def test_golden_journald_priority_range():
+    s = build_stage(load("journald_priority_range.yaml"))
+    assert (s.prio_lo, s.prio_hi) == (0, 3)  # emerg..err
+    assert s.reader.include == ["/var/log/journal/*"]
+
+
+def test_golden_windows_eventlog():
+    s = build_stage(load("windows_eventlog.yaml"))
+    assert s.channel == "Application"
+    assert s.reader.include == ["/exports/events.xml"]
+
+
+def test_golden_syslog_input_tcp():
+    s = build_stage(load("syslog_input_tcp.yaml"))
+    assert s.source.protocol == "tcp"
+    assert s.parser.protocol == "rfc5424"
+
+
+def test_golden_k8s_event():
+    s = build_stage(load("k8s_event.yaml"))
+    assert s.namespaces == ["production"]
+    assert s.reader.include == ["/exports/watch.json"]
