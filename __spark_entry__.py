@@ -1714,11 +1714,14 @@ FROM documents"""
     )
 
     # winnowing (k=5, w=4): per-position 5-gram md5, min over each
-    # 4-hash window (ROWS BETWEEN mirrors the HOF slice), distinct
+    # 4-hash window (ROWS BETWEEN mirrors the HOF slice), distinct.
+    # substr(..., 65536) mirrors textops.WINNOW_MAX_CHARS (long-doc
+    # per-row memory guard; no sf doc is near the cap)
     sqls["winnow_fp"] = """
 WITH d AS (
-  SELECT doc_id, text, length(text) AS n FROM documents
-  WHERE length(text) >= 8
+  SELECT doc_id, substr(text, 1, 65536) AS text,
+         length(substr(text, 1, 65536)) AS n FROM documents
+  WHERE length(substr(text, 1, 65536)) >= 8
 ), g AS (
   SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 5)) AS h, n
   FROM d, UNNEST(generate_series(1, n - 4)) AS t(i)

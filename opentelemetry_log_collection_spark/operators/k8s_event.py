@@ -31,6 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..fields import MAP_SS
 from ..pipeline import Stage, register
@@ -49,10 +50,31 @@ KIND_RESOURCE = {
 }
 
 
-def _ts(path: str) -> Column:
+#: the one full-text parse: watch-event envelope type + the Event
+#: object as the engine's MAP_SS body (nested values JSON-encoded)
+_WATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("object", MAP_SS),
+    ]
+)
+
+#: involvedObject fields needed by populateResource — parsed from the
+#: (small) JSON string already sitting in the body map, not the line
+_INVOLVED_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("uid", T.StringType()),
+        T.StructField("namespace", T.StringType()),
+    ]
+)
+
+
+def _ts(body: Column, key: str) -> Column:
     # K8s serializes EventTime (MicroTime) and (Last|First)Timestamp
     # (Time) as RFC3339; try_to_timestamp nulls out absent/garbage
-    return F.try_to_timestamp(F.get_json_object(F.col("text"), path))
+    return F.try_to_timestamp(body.getItem(key))
 
 
 @register("k8s_event_input")
@@ -85,41 +107,38 @@ class K8sEventInputStage(Stage):
         self.resource = resource
 
     def generate(self, spark: SparkSession) -> DataFrame:
+        # ONE JsonToStructs over the line: envelope type + body map in a
+        # single parse (the hot column is parsed once, not once per
+        # extracted field). involvedObject is re-parsed from the small
+        # JSON string already in the body map — bytes parsed per row is
+        # len(line) + len(involvedObject), not ~12 x len(line).
         lines = self.reader.generate(spark)
-        obj_json = F.get_json_object(F.col("text"), "$.object")
-        body = F.from_json(obj_json, MAP_SS)
         df = (
-            lines.withColumn("_body", body)
+            lines.withColumn("_ev", F.from_json(F.col("text"), _WATCH_SCHEMA))
+            .withColumn("_body", F.col("_ev.object"))
             # a malformed line (no object map) is a conversion failure:
             # error-and-continue in the reference (k8s_event.go:262-273)
             .filter(F.col("_body").isNotNull())
+            .withColumn(
+                "_io",
+                F.from_json(
+                    F.col("_body").getItem("involvedObject"), _INVOLVED_SCHEMA
+                ),
+            )
         )
         if self.namespaces:  # the reference watches only these
-            df = df.filter(
-                F.get_json_object(
-                    F.col("text"), "$.object.involvedObject.namespace"
-                ).isin(self.namespaces)
-            )
-        io = "$.object.involvedObject"
-        kind = F.get_json_object(F.col("text"), f"{io}.kind")
-        name = F.coalesce(
-            F.get_json_object(F.col("text"), f"{io}.name"), F.lit("")
-        )
-        uid = F.coalesce(
-            F.get_json_object(F.col("text"), f"{io}.uid"), F.lit("")
-        )
+            df = df.filter(F.col("_io.namespace").isin(self.namespaces))
+        body = F.col("_body")
+        kind = F.col("_io.kind")
+        name = F.coalesce(F.col("_io.name"), F.lit(""))
+        uid = F.coalesce(F.col("_io.uid"), F.lit(""))
         # cluster + namespace always (k8s_event.go:304-305); kind keys
         # via one when-chain -> map (no UDF, no shuffle)
         base = [
             F.lit("k8s.cluster.name"),
-            F.coalesce(
-                F.get_json_object(F.col("text"), "$.object.clusterName"),
-                F.lit(""),
-            ),
+            F.coalesce(body.getItem("clusterName"), F.lit("")),
             F.lit("k8s.namespace.name"),
-            F.coalesce(
-                F.get_json_object(F.col("text"), f"{io}.namespace"), F.lit("")
-            ),
+            F.coalesce(F.col("_io.namespace"), F.lit("")),
         ]
         res: Column = F.create_map(*base)
         for k, (prefix, with_uid) in KIND_RESOURCE.items():
@@ -130,13 +149,13 @@ class K8sEventInputStage(Stage):
                 kind == k, F.map_concat(F.create_map(*base), F.create_map(*kv))
             ).otherwise(res)
         df = (
-            df.withColumn("body", F.col("_body"))
+            df.withColumn("body", body)
             .withColumn(
                 "ts",
                 F.coalesce(
-                    _ts("$.object.eventTime"),
-                    _ts("$.object.lastTimestamp"),
-                    _ts("$.object.firstTimestamp"),
+                    _ts(body, "eventTime"),
+                    _ts(body, "lastTimestamp"),
+                    _ts(body, "firstTimestamp"),
                 ),
             )
             .withColumn(
@@ -145,10 +164,7 @@ class K8sEventInputStage(Stage):
                     F.col("attributes"),
                     F.create_map(
                         F.lit("event_type"),
-                        F.coalesce(
-                            F.get_json_object(F.col("text"), "$.type"),
-                            F.lit(""),
-                        ),
+                        F.coalesce(F.col("_ev.type"), F.lit("")),
                     ),
                 ),
             )
@@ -157,7 +173,7 @@ class K8sEventInputStage(Stage):
             .withColumn(
                 "resource", F.map_concat(F.col("resource"), res.cast(MAP_SS))
             )
-            .drop("_body")
+            .drop("_body", "_ev", "_io")
         )
         return stamp(df, self.attributes, self.resource)
 

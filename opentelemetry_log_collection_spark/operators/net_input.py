@@ -269,13 +269,31 @@ class NetListenerBridge:
 
     # ---- udp ---------------------------------------------------------
 
+    #: UDP spool batching (same shape as the journald pump's 1000-line
+    #: flush): a high-rate sender would otherwise land one tiny spool
+    #: file PER DATAGRAM, and every distributed listing pays for each
+    UDP_FLUSH_COUNT = 1000
+    UDP_FLUSH_AGE_S = 0.5
+
     def _udp_loop(self) -> None:
         self._sock.settimeout(0.2)
         per_peer_seq: dict[str, int] = {}
+        pending: list[dict] = []
+        pending_since = 0.0
+
+        def flush() -> None:
+            nonlocal pending
+            if pending:
+                self._write_records(pending)
+                pending = []
+
         while not self._stopping.is_set():
             try:
                 data, peer = self._sock.recvfrom(65536)
             except socket.timeout:
+                # idle tick: age out whatever accumulated
+                if pending and time.monotonic() - pending_since >= self.UDP_FLUSH_AGE_S:
+                    flush()
                 continue
             except OSError:
                 break
@@ -291,14 +309,22 @@ class NetListenerBridge:
             entries = sp.feed(data.decode(self.codec, errors="replace"))
             entries += sp.flush()
             seq = per_peer_seq.get(conn_id, 0)
-            recs = []
+            if not pending:
+                pending_since = time.monotonic()
             for e in entries:
-                recs.append(
+                pending.append(
                     {"conn_id": conn_id, "seq": seq, "text": e, "net": attrs}
                 )
                 seq += 1
             per_peer_seq[conn_id] = seq
-            self._write_records(recs)
+            # count- or age-triggered flush; a single spool file keeps
+            # per-peer ordering because records append in receive order
+            if (
+                len(pending) >= self.UDP_FLUSH_COUNT
+                or time.monotonic() - pending_since >= self.UDP_FLUSH_AGE_S
+            ):
+                flush()
+        flush()  # loop exit (stop() or socket close): nothing is lost
 
     # ---- lifecycle ---------------------------------------------------
 

@@ -78,8 +78,17 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     )
 
 
+#: winnowing long-document guard: fingerprint at most this many chars.
+#: The per-row hash array is ~32 B/char, so an uncapped multi-MB crawl
+#: outlier would build a ~100 MB in-memory array inside one row; the
+#: cap bounds it at ~2 MB while still fingerprinting far more text
+#: than near-dup detection needs.
+WINNOW_MAX_CHARS = 65536
+
+
 def winnow_fingerprints(
-    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4
+    df: DataFrame, text_col: str = "text", k: int = 5, w: int = 4,
+    max_chars: int = WINNOW_MAX_CHARS,
 ) -> DataFrame:
     """Winnowing document fingerprints (the MOSS scheme: Schleimer,
     Wilkerson & Aiken, SIGMOD 2003): hash every k-char gram, slide a
@@ -97,8 +106,10 @@ def winnow_fingerprints(
     keeps the window-min comparison an engine-portable string order.
 
     Documents shorter than k + w - 1 chars have no complete window
-    and emit no rows (the standard winnowing edge)."""
-    t = F.col(text_col)
+    and emit no rows (the standard winnowing edge). Documents longer
+    than ``max_chars`` are fingerprinted over their first ``max_chars``
+    chars only (bounded per-row memory; see WINNOW_MAX_CHARS)."""
+    t = F.substring(F.col(text_col), 1, max_chars)
     n = F.length(t)
     n_pos = n - k + 1          # number of k-grams
     n_win = n_pos - w + 1      # number of complete windows

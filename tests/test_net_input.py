@@ -37,6 +37,23 @@ def _wait_spool(stage, n_min: int, timeout: float = 5.0):
     raise TimeoutError(f"spool never reached {n_min} flushes")
 
 
+def _wait_records(stage, n_min: int, timeout: float = 5.0):
+    """Wait until >= n_min records are visible in the spool (flushes
+    may batch many records into one file, so file count != records)."""
+    import glob
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        n = 0
+        for p in glob.glob(f"{stage.spool_dir}/spool-*.json"):
+            with open(p) as f:
+                n += sum(1 for ln in f if ln.strip())
+        if n >= n_min:
+            return
+        time.sleep(0.05)
+    raise TimeoutError(f"spool never reached {n_min} records")
+
+
 # ---- splitter unit semantics -----------------------------------------
 
 
@@ -225,7 +242,7 @@ def test_udp_datagrams_split_independently(spark, tmp_path):
         c.sendto(b"one\ntwo", addr)
         c.sendto(b"three\n", addr)
         c.close()
-        _wait_spool(stage, 2)
+        _wait_records(stage, 3)
     finally:
         stage.bridge.stop()
     rows = collected(stage.generate(spark), "turn_idx", "text", "attributes",
@@ -233,6 +250,33 @@ def test_udp_datagrams_split_independently(spark, tmp_path):
     assert [r["text"] for r in rows] == ["one", "two", "three"]
     assert [r["turn_idx"] for r in rows] == [0, 1, 2]
     assert rows[0]["attributes"]["net.transport"] == "IP.UDP"
+
+
+def test_udp_spool_batches_datagrams(spark, tmp_path):
+    """A burst of N datagrams lands in far fewer than N spool files
+    (count/age-batched flush, like the journald pump) with per-peer
+    receive order preserved — one file per datagram would make every
+    distributed listing pay for thousands of tiny files."""
+    stage = UdpInputStage(
+        listen_address="127.0.0.1:0", spool_dir=str(tmp_path / "spool")
+    )
+    stage.bridge.start()
+    n = 200
+    try:
+        c = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        addr = ("127.0.0.1", stage.bridge.port)
+        for i in range(n):
+            c.sendto(f"msg-{i:04d}\n".encode(), addr)
+        c.close()
+        _wait_records(stage, n)
+    finally:
+        stage.bridge.stop()
+    assert stage.bridge._n_flush <= n // 10  # batched, not per-datagram
+    rows = collected(stage.generate(spark), "conv_id", "turn_idx", "text",
+                     order=("conv_id", "turn_idx"))
+    assert len(rows) == n
+    for r in rows:  # seq order == send order within the (single) peer
+        assert r["text"] == f"msg-{r['turn_idx']:04d}"
 
 
 def test_syslog_input_composite(spark, tmp_path):
