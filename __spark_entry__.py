@@ -992,6 +992,24 @@ def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_bmp_assets(spark, n=60))
 
 
+def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL *compressed* image decode, end to end: 60 genuine PNG
+    containers (8-bit truecolor, CRC32-verified chunks, zlib-deflated
+    scanlines, filter type cycling y % 5 so every PNG unfilter branch
+    — None/Sub/Up/Average/Paeth — runs on every asset) ->
+    multimodal.image_features dispatches on the magic bytes to
+    decode_png: inflate + unfilter + per-channel pixel statistics
+    inside mapInPandas. The DuckDB oracle reproduces every float
+    bit-for-bit from the closed-form pixel formula
+    (multimodal.png_pixel) — any wrong unfilter branch fails it."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features,
+        synthesize_png_assets,
+    )
+
+    return image_features(synthesize_png_assets(spark, n=60))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, round-tripped: BMP assets -> nearest-neighbor
     resample to 8x8 (multimodal.resize_images, floor index mapping) ->
@@ -1346,6 +1364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "media_image": q_media_image,
+        "media_png": q_media_png,
         "media_resize": q_media_resize,
         "media_video": q_media_video,
         "ann_ivf": q_ann_ivf,
@@ -1803,6 +1822,37 @@ WITH a AS (
          (asset_id * 7 + x * 5 + y * 3 + 22) % 256 AS r
   FROM a, UNNEST(generate_series(0, 20)) AS tx(x),
        UNNEST(generate_series(0, 27)) AS ty(y)
+  WHERE x < w AND y < h
+)
+SELECT asset_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+       CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+       CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+       CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / (3 * max(w) * max(h))
+         AS brightness,
+       CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
+            AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id"""
+
+    # the real PNG decode: closed-form pixel formula (png_pixel is
+    # RGB-ordered: r=+0, g=+11, b=+22), dims 16+(i%4)*3 x 11+(i%6)*2;
+    # exact-integer channel sums, identical float argument to
+    # media_image
+    sqls["media_png"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         16 + (i % 4) * 3 AS w, 11 + (i % 6) * 2 AS h
+  FROM UNNEST(generate_series(0, 59)) AS t(i)
+), px AS (
+  SELECT asset_id, w, h, x, y,
+         (asset_id * 7 + x * 5 + y * 3) % 256 AS r,
+         (asset_id * 7 + x * 5 + y * 3 + 11) % 256 AS g,
+         (asset_id * 7 + x * 5 + y * 3 + 22) % 256 AS b
+  FROM a, UNNEST(generate_series(0, 24)) AS tx(x),
+       UNNEST(generate_series(0, 20)) AS ty(y)
   WHERE x < w AND y < h
 )
 SELECT asset_id,

@@ -26,8 +26,13 @@ design splits the operator in two:
      partition parallelism — the listener is never a shuffle
      participant.
 
-TLS (tcp.go:124-143) is out of scope: no certificates exist in this
-sandbox; the config key is rejected loudly rather than ignored.
+TLS (tcp.go:124-143): the bridge terminates TLS itself via stdlib
+``ssl`` — ``tls: {cert_file, key_file}`` loads a server cert chain
+and every accepted connection handshakes before the splitter sees a
+byte. Handshake failures drop that connection (error-and-continue,
+like the reference's per-connection goroutine) without touching the
+listener. UDP has no TLS in the reference either (udp.go); the key is
+rejected there.
 """
 
 from __future__ import annotations
@@ -36,6 +41,7 @@ import json
 import os
 import re
 import socket
+import ssl
 import tempfile
 import threading
 import time
@@ -137,9 +143,19 @@ class NetListenerBridge:
         line_end: str | None = None,
         max_log_size: int = DEFAULT_MAX_LOG_SIZE,
         add_attributes: bool = False,
+        tls_cert: str | None = None,
+        tls_key: str | None = None,
     ):
         if protocol not in ("tcp", "udp"):
             raise ValueError(f"unsupported protocol {protocol!r}")
+        if tls_cert and protocol != "tcp":
+            raise ValueError("tls is tcp-only (the reference has no UDP TLS)")
+        self._ssl_ctx: ssl.SSLContext | None = None
+        if tls_cert:
+            # server-side TLS termination (tcp.go:124-143 ServerConfig):
+            # load_cert_chain fails fast here on a bad cert/key pair
+            self._ssl_ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            self._ssl_ctx.load_cert_chain(tls_cert, tls_key)
         if encoding.lower() not in _ENCODINGS:
             raise ValueError(f"unsupported encoding {encoding!r}")
         # python codec names: the JVM charset table maps 1:1 here;
@@ -197,6 +213,16 @@ class NetListenerBridge:
     # ---- tcp ---------------------------------------------------------
 
     def _serve_tcp_conn(self, conn: socket.socket, peer) -> None:
+        if self._ssl_ctx is not None:
+            # handshake in the per-connection thread so a slow/garbage
+            # client can't stall the accept loop; a failed handshake
+            # drops only this connection (error-and-continue)
+            conn.settimeout(5.0)
+            try:
+                conn = self._ssl_ctx.wrap_socket(conn, server_side=True)
+            except (ssl.SSLError, OSError, socket.timeout):
+                conn.close()
+                return
         conn_id = f"tcp://{peer[0]}:{peer[1]}"
         attrs = self._net_attrs(peer, "IP.TCP")
         splitter = _Splitter(self.line_start, self.line_end, self.max_log_size)
@@ -377,11 +403,11 @@ class _NetInputStage(Stage):
         **kw,
     ):
         super().__init__(**kw)
-        if tls:
-            raise ValueError(
-                "tls is not supported (no certificates in this "
-                "environment); terminate TLS in front of the listener"
-            )
+        tls = tls or {}
+        if tls and self.protocol != "tcp":
+            raise ValueError("tls is tcp-only (the reference has no UDP TLS)")
+        if tls and not (tls.get("cert_file") and tls.get("key_file")):
+            raise ValueError("tls requires cert_file and key_file")
         host, _, port = listen_address.rpartition(":")
         multiline = multiline or {}
         self.spool_dir = spool_dir or tempfile.mkdtemp(
@@ -397,6 +423,8 @@ class _NetInputStage(Stage):
             line_end=multiline.get("line_end_pattern"),
             max_log_size=int(max_log_size),
             add_attributes=add_attributes,
+            tls_cert=tls.get("cert_file"),
+            tls_key=tls.get("key_file"),
         )
         self.attributes = attributes
         self.resource = resource

@@ -296,3 +296,84 @@ def test_sample_frames_only_video(spark, assets):
         assert len(bytes(r["frame"])) == 16
     for idxs in by_asset.values():
         assert sorted(idxs) == list(range(len(idxs)))  # dense frame ids
+
+
+# ---- PNG: real compressed decode (zlib inflate + unfilter) -----------
+
+
+def test_png_decode_real_all_filters():
+    """Encode->decode round trip recovers the closed-form pixels
+    exactly; the synthesizer cycles filter type y % 5, so heights >= 5
+    guarantee every unfilter branch (None/Sub/Up/Average/Paeth) ran."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_png, png_dims, png_pixel, synthesize_png,
+    )
+
+    for a in (0, 3, 7, 23):
+        w, h = png_dims(a)
+        assert h >= 5  # all five filter types exercised
+        d = decode_png(synthesize_png(a))
+        assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+        n = w * h
+        for c, key in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+            want = sum(
+                png_pixel(a, x, y, c) for x in range(w) for y in range(h)
+            )
+            assert d[key] == want / n
+        assert d["corner_sum"] == sum(png_pixel(a, 0, 0, c) for c in range(3))
+
+
+def test_png_decode_rejects_malformed():
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_png, synthesize_png,
+    )
+    import struct
+    import zlib
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"BM" + b"\x00" * 64)
+    # bit-flip inside a chunk -> CRC mismatch
+    blob = bytearray(synthesize_png(1))
+    blob[60] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch|truncated"):
+        decode_png(bytes(blob))
+    # unsupported color type (palette) is rejected, not mis-decoded
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+    )
+    idat = zlib.compress(b"\x00" * 20)
+    chunk2 = (
+        struct.pack(">I", len(idat)) + b"IDAT" + idat
+        + struct.pack(">I", zlib.crc32(b"IDAT" + idat))
+    )
+    with pytest.raises(ValueError, match="unsupported PNG"):
+        decode_png(sig + chunk + chunk2)
+
+
+def test_image_features_mixed_bmp_png_corpus(spark):
+    """image_features dispatches per payload on magic bytes: a corpus
+    mixing BMP and PNG assets decodes in one pass, each with its own
+    container/channel-order semantics."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        bmp_pixel, image_features, png_pixel,
+        synthesize_bmp_assets, synthesize_png_assets,
+    )
+
+    bmp = synthesize_bmp_assets(spark, n=3).withColumn(
+        "asset_id", F.col("asset_id") + 100
+    )
+    png = synthesize_png_assets(spark, n=3)
+    out = {r["asset_id"]: r for r in
+           image_features(bmp.unionByName(png)).collect()}
+    assert len(out) == 6
+    # BMP corner is BGR-stored, PNG corner is RGB-stored; both are the
+    # 3-channel sum at (0,0) of their own closed form
+    assert out[0]["corner_sum"] == sum(png_pixel(0, 0, 0, c) for c in range(3))
+    # bmp assets were synthesized with asset_id 0..2 (payload formula),
+    # re-keyed +100 only in the column
+    assert out[100]["corner_sum"] == sum(
+        bmp_pixel(0, 0, 0, c) for c in range(3)
+    )

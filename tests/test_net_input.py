@@ -6,6 +6,7 @@ udp.go:167,183-189), helper/multiline.go boundary modes.
 """
 from __future__ import annotations
 
+import pathlib
 import socket
 import time
 
@@ -215,12 +216,95 @@ def test_syslog_input_empty_tcp_mapping(tmp_path):
     assert stage.source.protocol == "tcp"
 
 
-def test_tls_rejected_loudly(tmp_path):
-    with pytest.raises(ValueError, match="tls"):
+FIXTURES = pathlib.Path(__file__).parent / "fixtures"
+
+
+def test_tls_tcp_round_trip(spark, tmp_path):
+    """tcp_input terminates TLS itself (tcp.go:124-143): a client that
+    VERIFIES the server cert (fixture self-signed cert as its own CA)
+    handshakes, pushes lines, and the decoded entries come out of the
+    distributed spool scan like any plaintext connection."""
+    import ssl
+
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        add_attributes=True,
+        tls={
+            "cert_file": str(FIXTURES / "tls_cert.pem"),
+            "key_file": str(FIXTURES / "tls_key.pem"),
+        },
+    )
+    stage.bridge.start()
+    try:
+        ctx = ssl.create_default_context(
+            cafile=str(FIXTURES / "tls_cert.pem")
+        )
+        ctx.check_hostname = False  # cert CN=localhost, we dial the IP
+        ctx.verify_mode = ssl.CERT_REQUIRED
+        raw = socket.create_connection(
+            ("127.0.0.1", stage.bridge.port), timeout=5
+        )
+        c = ctx.wrap_socket(raw)
+        assert c.version() is not None  # TLS actually negotiated
+        c.sendall(b"secure one\nsecure two\n")
+        c.close()
+        _wait_records(stage, 2)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "turn_idx", "text", "attributes",
+                     order=("turn_idx",))
+    assert [r["text"] for r in rows] == ["secure one", "secure two"]
+    assert rows[0]["attributes"]["net.transport"] == "IP.TCP"
+
+
+def test_tls_plaintext_client_dropped_not_fatal(spark, tmp_path):
+    """A non-TLS client against a TLS listener fails its handshake and
+    is dropped error-and-continue: the listener survives and a proper
+    TLS client still gets through afterwards."""
+    import ssl
+
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        tls={
+            "cert_file": str(FIXTURES / "tls_cert.pem"),
+            "key_file": str(FIXTURES / "tls_key.pem"),
+        },
+    )
+    stage.bridge.start()
+    try:
+        bad = socket.create_connection(("127.0.0.1", stage.bridge.port),
+                                       timeout=5)
+        bad.sendall(b"not a tls hello\n")
+        bad.close()
+        time.sleep(0.3)
+        ctx = ssl._create_unverified_context()
+        c = ctx.wrap_socket(
+            socket.create_connection(("127.0.0.1", stage.bridge.port),
+                                     timeout=5)
+        )
+        c.sendall(b"after-garbage\n")
+        c.close()
+        _wait_records(stage, 1)
+    finally:
+        stage.bridge.stop()
+    rows = collected(stage.generate(spark), "text")
+    assert [r["text"] for r in rows] == ["after-garbage"]
+
+
+def test_tls_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="cert_file and key_file"):
         TcpInputStage(
             listen_address="127.0.0.1:0",
             spool_dir=str(tmp_path / "s"),
-            tls={"cert_file": "/nope"},
+            tls={"cert_file": "/nope"},  # key_file missing
+        )
+    with pytest.raises(ValueError, match="tcp-only"):
+        UdpInputStage(
+            listen_address="127.0.0.1:0",
+            spool_dir=str(tmp_path / "s2"),
+            tls={"cert_file": "/c", "key_file": "/k"},
         )
 
 
@@ -329,3 +413,41 @@ def test_net_stream_builds(spark, tmp_path):
     sdf = stage.stream(spark)
     assert sdf.isStreaming
     assert "text" in sdf.columns and "attributes" in sdf.columns
+
+
+def test_tcp_stream_available_now_equals_batch(spark, tmp_path):
+    """Driving the same spool through stream() (availableNow micro-
+    batches into a memory sink) yields exactly the rows generate()
+    scans — the production shape: the listener lands files, the
+    cluster tails them as a file stream."""
+    stage = TcpInputStage(
+        listen_address="127.0.0.1:0",
+        spool_dir=str(tmp_path / "spool"),
+        add_attributes=True,
+    )
+    stage.bridge.start()
+    try:
+        _send_tcp(stage.bridge.port, [b"alpha\nbeta\n", b"gamma\n"])
+        _wait_records(stage, 3)
+    finally:
+        stage.bridge.stop()
+    q = (
+        stage.stream(spark)
+        .writeStream.format("memory")
+        .queryName("tcp_stream_avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = [
+        (r["turn_idx"], r["text"])
+        for r in spark.sql(
+            "select * from tcp_stream_avnow order by turn_idx"
+        ).collect()
+    ]
+    want = [
+        (r["turn_idx"], r["text"])
+        for r in collected(stage.generate(spark), "turn_idx", "text",
+                           order=("turn_idx",))
+    ]
+    assert got == want == [(0, "alpha"), (1, "beta"), (2, "gamma")]

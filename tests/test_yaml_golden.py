@@ -219,6 +219,12 @@ def test_golden_tcp_input():
     assert s.bridge.line_start == r"^\d{4}-"
 
 
+def test_golden_tcp_input_tls():
+    s = build_stage(load("tcp_input_tls.yaml"))
+    assert s.protocol == "tcp"
+    assert s.bridge._ssl_ctx is not None  # cert chain actually loaded
+
+
 def test_golden_journald_input():
     s = build_stage(load("journald_input.yaml"))
     assert s.units == ["ssh", "kubelet"]
