@@ -13,7 +13,11 @@ cold run records noise as signal, so every query now runs REPS times
 the min (contention-floor estimate), and every raw wall. A
 single-thread CPU probe (~1.05s on an idle box) runs before/mid/after
 so a reader can classify a slow artifact as host contention without
-consulting BENCH.md: probes >> 1.05s means the host was busy.
+consulting BENCH.md: probes >> 1.05s means the host was busy. A disk
+probe (write+fsync + uncached read MB/s) runs at the same three points
+because CPU probes are blind to the OTHER contention axis: shuffle
+spill/read bandwidth (r4's cold-wall 2.6x swing had clean CPU probes;
+r5 caught uncached reads at 12 MB/s during a clean-CPU window).
 
 The flagship query is the north-rule pipeline: transcripts -> parse
 (4 shapes) -> enrich -> route -> per-sink parquet writes + aggregate
@@ -57,6 +61,36 @@ def cpu_probe() -> float:
     return time.perf_counter() - t0
 
 
+def disk_probe(mb: int = 64) -> dict:
+    """Write+fsync then page-cache-dropped read of `mb` MB where Spark
+    spills (tempfile dir). CPU probes cannot see disk contention — r4's
+    artifact showed clean CPU probes while cold walls swung 2.6x, and
+    on 2026-08-18 a clean-CPU window measured 284 MB/s write but
+    12 MB/s uncached read, exactly when every shuffle-heavy query ran
+    2-5x slow. Idle reference on this box: ~300+ MB/s write, ~150+
+    MB/s read. Reported per-phase so artifacts self-classify."""
+    blob = os.urandom(1 << 20)
+    d = tempfile.mkdtemp(prefix="bench_diskprobe_")
+    p = os.path.join(d, "probe")
+    t0 = time.perf_counter()
+    with open(p, "wb") as f:
+        for _ in range(mb):
+            f.write(blob)
+        f.flush()
+        os.fsync(f.fileno())
+    w = time.perf_counter() - t0
+    fd = os.open(p, os.O_RDONLY)
+    os.posix_fadvise(fd, 0, 0, os.POSIX_FADV_DONTNEED)  # defeat cache
+    os.close(fd)
+    t0 = time.perf_counter()
+    with open(p, "rb") as f:
+        while f.read(1 << 22):
+            pass
+    r = time.perf_counter() - t0
+    shutil.rmtree(d, ignore_errors=True)
+    return {"write_mb_s": round(mb / w, 1), "read_mb_s": round(mb / r, 1)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -64,6 +98,7 @@ def main() -> None:
     spark = get_spark(f"local[{cpus}]", shuffle_partitions=cpus, app_name="bench")
 
     probes = [cpu_probe()]
+    disk_probes = [disk_probe()]
 
     # warm the JVM + parquet footers so timings measure the pipeline
     n_turns = E.q_transcripts(spark, sf_dir).count()
@@ -93,6 +128,7 @@ def main() -> None:
     reps_raw["flagship_warm"] = warm_walls
 
     probes.append(cpu_probe())
+    disk_probes.append(disk_probe())
 
     bench_queries = [
         "regex_tomcat",
@@ -126,6 +162,7 @@ def main() -> None:
         mins[name] = min(walls)
 
     probes.append(cpu_probe())
+    disk_probes.append(disk_probe())
 
     total = round(sum(timings.values()), 3)
     turns_per_sec = round(n_turns / flagship_sec, 1)
@@ -140,6 +177,7 @@ def main() -> None:
                 "queries_reps": reps_raw,
                 "probes": [round(p, 3) for p in probes],
                 "probe_idle_ref": 1.05,
+                "disk_probes": disk_probes,
                 "reps": REPS,
                 "total_sec": total,
                 "sf": sf,
