@@ -1139,6 +1139,55 @@ def q_journald_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_file_compressed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """file_input over a mixed rotated-log landing zone, end to end
+    (engine addition — the reference's file.go reads plaintext only):
+    the tomcat-dialect transcript lines (single-line by construction)
+    round-robin across four files — live plaintext, two gzip
+    rotations, one bz2 — written driver-side (the external log rotator
+    is external by definition), then the REAL operator scans,
+    per-extension decompresses, and line-splits them distributed.
+    Oracle: the same round-robin arithmetic straight from the table —
+    decompress + split must be lossless and order-preserving within
+    every file."""
+    import bz2 as _bz2
+    import gzip as _gzip
+    import os as _os
+    import tempfile
+
+    from opentelemetry_log_collection_spark.operators.io import (
+        FileInputStage,
+    )
+
+    lines = [
+        r.text
+        for r in materialized_transcripts(spark, sf_dir)
+        .filter(F.col("text").startswith("10."))
+        .orderBy("conv_id", "turn_idx")  # pins the round-robin
+        .select("text")
+        .collect()
+    ]
+    names = ["shard-0.log", "shard-1.log.gz", "shard-2.log.gz",
+             "shard-3.log.bz2"]
+    codecs = [None, _gzip.compress, _gzip.compress, _bz2.compress]
+    work = tempfile.mkdtemp(prefix="file_compressed_")
+    for k, (name, comp) in enumerate(zip(names, codecs)):
+        data = lines[k::4]
+        if not data:
+            continue
+        raw = ("\n".join(data) + "\n").encode("utf-8")
+        with open(_os.path.join(work, name), "wb") as f:
+            f.write(comp(raw) if comp else raw)
+    out = FileInputStage(include=f"{work}/shard-*").generate(spark)
+    return out.select(
+        F.try_element_at("attributes", F.lit("log.file.name")).alias(
+            "fname"
+        ),
+        F.col("turn_idx").cast("long").alias("line_no"),
+        F.col("text").alias("text"),
+    )
+
+
 def q_k8s_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k8s_event_input end to end (k8s_event.go:259-332): transcript
     turns serialized as watch-event JSON lines (type + object with
@@ -1372,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_recombine": q_streaming_recombine,
         "tcp_ingest": q_tcp_ingest,
         "journald_ingest": q_journald_ingest,
+        "file_compressed": q_file_compressed,
         "k8s_ingest": q_k8s_ingest,
         "windows_ingest": q_windows_ingest,
         "sample_stratified": q_sample_stratified,
@@ -2135,6 +2185,20 @@ WHERE list_dot_product(va.vv, vb.vv)
     sqls["tcp_ingest"] = (
         f"{ORACLE_CTE} SELECT text FROM transcripts WHERE text LIKE '10.%'"
     )
+
+    # mixed compressed landing zone: per-extension decompress + split
+    # must be lossless and order-preserving within every file; the
+    # round-robin shard/line arithmetic is recomputed from the table
+    sqls["file_compressed"] = f"""{ORACLE_CTE},
+r AS (
+  SELECT text, row_number() OVER (ORDER BY conv_id, turn_idx) - 1 AS rn
+  FROM transcripts WHERE text LIKE '10.%'
+)
+SELECT CASE rn % 4 WHEN 0 THEN 'shard-0.log' WHEN 1 THEN 'shard-1.log.gz'
+            WHEN 2 THEN 'shard-2.log.gz' ELSE 'shard-3.log.bz2' END AS fname,
+       rn // 4 AS line_no,
+       text
+FROM r"""
 
     # journald export round-trip: the operator must reproduce every
     # field it serialized, minus the priority>info (debug) lines the

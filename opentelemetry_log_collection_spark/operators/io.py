@@ -185,6 +185,85 @@ _ENCODINGS = {
 }
 
 
+# ---- compressed log files -------------------------------------------
+# The reference's file_input reads plaintext only (file.go has no
+# codec hook), but real landing zones ship rotated .gz/.bz2/.xz logs,
+# so the engine adds a decompress step in front of the charset decode.
+# Scale shape: these codecs are NOT splittable, so the unit of
+# parallelism is the FILE either way — the Arrow round-trip through
+# the pandas UDF costs one extra copy of bytes that had to land in a
+# single task regardless; plain files stay on the pure-JVM path via a
+# path-pushdown split, never touching Python. Chunked byte-range mode
+# refuses compressed members (no byte offset maps into the stream).
+
+#: extension -> codec, mirroring the Hadoop codec-by-suffix convention
+_CODEC_EXT = {
+    ".gz": "gzip",
+    ".bz2": "bzip2",
+    ".xz": "xz",
+    ".lzma": "xz",
+    ".zst": "zstd",
+    ".deflate": "deflate",
+}
+_CODECS = ("gzip", "bzip2", "xz", "zstd", "deflate")
+#: JVM-side rlike over `path` splitting compressed from plain files
+_COMPRESSED_PATH_RE = r"(?i)\.(gz|bz2|xz|lzma|zst|deflate)$"
+
+
+def codec_for_path(path: str) -> str | None:
+    dot = path.rfind(".")
+    return _CODEC_EXT.get(path[dot:].lower()) if dot >= 0 else None
+
+
+def decompress_payload(data: bytes, codec: str) -> bytes:
+    """One compressed member stream -> raw bytes, stdlib-only (zstd is
+    gated on a library this sandbox lacks). gzip handles concatenated
+    multi-member files (the `cat a.gz b.gz` rotation idiom)."""
+    if codec == "gzip":
+        import gzip
+
+        return gzip.decompress(data)
+    if codec == "bzip2":
+        import bz2
+
+        return bz2.decompress(data)
+    if codec == "xz":
+        import lzma
+
+        return lzma.decompress(data)
+    if codec == "deflate":  # Hadoop DefaultCodec: zlib-wrapped
+        import zlib
+
+        return zlib.decompress(data)
+    if codec == "zstd":
+        try:
+            import zstandard  # type: ignore[import-not-found]
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ValueError(
+                "zstd payloads need the 'zstandard' package, which is "
+                "not installed in this environment"
+            ) from e
+        return zstandard.ZstdDecompressor().decompress(data)
+    raise ValueError(f"unsupported compression codec {codec!r}")
+
+
+def _decompress_files(df: DataFrame, codec: str | None) -> DataFrame:
+    """Arrow-batched (path, content) -> content decompress. codec=None
+    means by-extension dispatch; unknown extensions pass through (a
+    plain file in a mixed glob is already raw bytes)."""
+    import pandas as pd
+
+    def _decomp(path, content):
+        out = []
+        for p, blob in zip(path, content):
+            c = codec or codec_for_path(str(p))
+            out.append(decompress_payload(bytes(blob), c) if c else bytes(blob))
+        return pd.Series(out)
+
+    decomp = F.pandas_udf(_decomp, T.BinaryType())
+    return df.withColumn("content", decomp(F.col("path"), F.col("content")))
+
+
 @register("file_input")
 class FileInputStage(Stage):
     """Real-file source: binaryFile scan -> charset decode -> line
@@ -199,6 +278,13 @@ class FileInputStage(Stage):
     leading chunk whole, where the recombine OPERATOR flushes
     pre-boundary entries alone — recombine.go:236-242 vs
     multiline.go). ``line_end_pattern`` closes an entry at each match.
+
+    Compressed logs (an engine addition — file.go reads plaintext
+    only): ``compression: auto`` (default) dispatches per file by
+    extension (.gz/.bz2/.xz/.lzma/.zst/.deflate), a named codec forces
+    every file through it, ``none`` disables. Codecs are not
+    splittable, so a compressed file is one task by nature; plain
+    files in the same glob stay on the pure-JVM path.
 
     Scale shape, two modes:
       - default (whole-file): one window per FILE — files parallelize
@@ -229,11 +315,26 @@ class FileInputStage(Stage):
         resource: dict | None = None,
         chunk_bytes: int | None = None,
         checkpoint_dir: str | None = None,
+        compression: str = "auto",
         **kw,
     ):
         super().__init__(**kw)
         if encoding.lower() not in _ENCODINGS:
             raise ValueError(f"unsupported encoding {encoding!r}")
+        if compression not in ("auto", "none", *_CODECS):
+            raise ValueError(
+                f"unsupported compression {compression!r} "
+                f"(auto|none|{'|'.join(_CODECS)})"
+            )
+        if compression not in ("auto", "none") and (
+            chunk_bytes or checkpoint_dir
+        ):
+            # a byte offset has no meaning inside a compressed stream
+            raise ValueError(
+                "chunk_bytes/checkpoint_dir cannot read compressed "
+                "files (codecs are not splittable)"
+            )
+        self.compression = compression
         # reference configs spell include as a LIST of globs
         # (operator/input/file/testdata/include_multi.yaml)
         self.include = [include] if isinstance(include, str) else list(include)
@@ -274,6 +375,12 @@ class FileInputStage(Stage):
             else None
         )
         plans = fc.plan_files(self.include, ledger)
+        bad = [p["path"] for p in plans if codec_for_path(p["path"])]
+        if bad:
+            raise ValueError(
+                "chunk_bytes/checkpoint_dir cannot read compressed "
+                f"files (codecs are not splittable): {bad[:3]}"
+            )
         self._last_plans = plans
         chunk = self.chunk_bytes or (64 << 20)
         chunks = fc.plan_chunks(plans, chunk)
@@ -310,6 +417,16 @@ class FileInputStage(Stage):
             return self._lines_to_entries(lines)
 
         raw = spark.read.format("binaryFile").load(self.include)
+        if self.compression == "auto":
+            # split on path so PLAIN files stay pure-JVM (binaryFile
+            # pushes path predicates into the listing; the UDF branch
+            # only ever sees bytes that are single-task anyway)
+            is_comp = F.col("path").rlike(_COMPRESSED_PATH_RE)
+            raw = raw.filter(~is_comp).unionByName(
+                _decompress_files(raw.filter(is_comp), None)
+            )
+        elif self.compression != "none":
+            raw = _decompress_files(raw, self.compression)
         text = F.decode(F.col("content"), self.charset)
         arr = F.split(text, "\r?\n", -1)
         # a trailing newline yields one empty final element, which is

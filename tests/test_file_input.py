@@ -194,3 +194,107 @@ def test_resume_skips_tails_and_rotates(spark, tmp_path):
 def test_chunking_rejects_multibyte_charsets():
     with pytest.raises(ValueError, match="unambiguous"):
         FileInputStage(include="/tmp/x", encoding="utf16", chunk_bytes=1024)
+
+
+# ---- compressed log files (engine addition: file.go has no codec) ----
+
+
+def test_gzip_auto_by_extension(spark, tmp_path):
+    import gzip
+
+    (tmp_path / "a.log.gz").write_bytes(gzip.compress(b"one\ntwo\n"))
+    got = rows(spark, FileInputStage(include=str(tmp_path / "*.gz")))
+    assert [(i, t) for i, t, _ in got] == [(0, "one"), (1, "two")]
+    assert got[0][2]["log.file.name"] == "a.log.gz"
+
+
+def test_mixed_plain_and_compressed_glob(spark, tmp_path):
+    """compression: auto dispatches per file — one glob over a landing
+    zone holding live plaintext logs next to rotated .gz/.bz2/.xz ones
+    decodes each by its own codec; plain files never touch Python."""
+    import bz2
+    import gzip
+    import lzma
+
+    (tmp_path / "live.log").write_text("p1\np2\n")
+    (tmp_path / "rot1.log.gz").write_bytes(gzip.compress(b"g1\ng2\n"))
+    (tmp_path / "rot2.log.bz2").write_bytes(bz2.compress(b"b1\n"))
+    (tmp_path / "rot3.log.xz").write_bytes(lzma.compress(b"x1\nx2\nx3\n"))
+    out = FileInputStage(include=str(tmp_path / "*")).generate(spark)
+    by_file = {}
+    for r in out.orderBy("conv_id", "turn_idx").collect():
+        by_file.setdefault(
+            r["attributes"]["log.file.name"], []
+        ).append(r["text"])
+    assert by_file == {
+        "live.log": ["p1", "p2"],
+        "rot1.log.gz": ["g1", "g2"],
+        "rot2.log.bz2": ["b1"],
+        "rot3.log.xz": ["x1", "x2", "x3"],
+    }
+
+
+def test_gzip_multimember_concat(spark, tmp_path):
+    """`cat a.gz b.gz > c.gz` rotation idiom: both members decode."""
+    import gzip
+
+    blob = gzip.compress(b"first\n") + gzip.compress(b"second\n")
+    (tmp_path / "m.log.gz").write_bytes(blob)
+    got = rows(spark, FileInputStage(include=str(tmp_path / "m.log.gz")))
+    assert [t for _, t, _ in got] == ["first", "second"]
+
+
+def test_forced_codec_ignores_extension(spark, tmp_path):
+    import gzip
+
+    (tmp_path / "nosuffix.dat").write_bytes(gzip.compress(b"hidden\n"))
+    got = rows(spark, FileInputStage(
+        include=str(tmp_path / "nosuffix.dat"), compression="gzip"))
+    assert [t for _, t, _ in got] == ["hidden"]
+
+
+def test_multiline_over_gzip(spark, tmp_path):
+    import gzip
+
+    (tmp_path / "ml.log.gz").write_bytes(gzip.compress(
+        b"2024-01-01 ERROR boom\n  at Foo\n2024-01-01 INFO ok\n"))
+    got = rows(spark, FileInputStage(
+        include=str(tmp_path / "ml.log.gz"),
+        multiline={"line_start_pattern": r"^\d{4}-\d{2}-\d{2} "},
+    ))
+    assert [t for _, t, _ in got] == [
+        "2024-01-01 ERROR boom\n  at Foo", "2024-01-01 INFO ok"]
+
+
+def test_compressed_rejected_in_chunked_mode(spark, tmp_path):
+    import gzip
+
+    (tmp_path / "c.log.gz").write_bytes(gzip.compress(b"x\n"))
+    with pytest.raises(ValueError, match="not splittable"):
+        FileInputStage(
+            include=str(tmp_path / "c.log.gz"), compression="gzip",
+            chunk_bytes=1 << 20)
+    stage = FileInputStage(include=str(tmp_path / "*.gz"),
+                           chunk_bytes=1 << 20)
+    with pytest.raises(ValueError, match="not splittable"):
+        stage.generate(spark)
+
+
+def test_compression_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="unsupported compression"):
+        FileInputStage(include=str(tmp_path / "x"), compression="brotli")
+
+
+def test_zstd_unavailable_is_loud(spark, tmp_path):
+    """No zstandard library in this sandbox: a .zst payload must fail
+    with the actionable message, not a silent mis-decode."""
+    pytest.importorskip  # (not skipped: asserting the ABSENT path)
+    try:
+        import zstandard  # noqa: F401
+        pytest.skip("zstandard present; absent-path not testable")
+    except ImportError:
+        pass
+    (tmp_path / "z.log.zst").write_bytes(b"\x28\xb5\x2f\xfd" + b"\x00" * 8)
+    stage = FileInputStage(include=str(tmp_path / "z.log.zst"))
+    with pytest.raises(Exception, match="zstandard"):
+        stage.generate(spark).collect()

@@ -212,6 +212,12 @@ def test_golden_file_input_multiline():
     assert s.include_file_name
 
 
+def test_golden_file_input_gzip():
+    s = build_stage(load("file_input_gzip.yaml"))
+    assert s.compression == "auto"
+    assert len(s.include) == 3
+
+
 def test_golden_tcp_input():
     s = build_stage(load("tcp_input.yaml"))
     assert s.protocol == "tcp"
