@@ -665,6 +665,66 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_dedup(docs.unionByName(dups))
 
 
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (CCNet/C4 scheme) over
+    deterministically assembled multi-paragraph documents: synthetic
+    doc g = doc_id % 49 holds the docs' 120-char prefixes as
+    paragraphs in doc_id order, with paragraph CONTENT keyed by
+    doc_id % 250 — so every paragraph appears in ~2 synthetic docs and
+    only the globally first (min (doc_id, idx)) occurrence survives.
+    Oracle: the identical assembly + a row_number-over-paragraph
+    election in SQL."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    content = docs.select(
+        F.col("doc_id").alias("ckey"),
+        F.substring("text", 1, 120).alias("para"),
+    )
+    paras = (
+        docs.select("doc_id", (F.col("doc_id") % 250).alias("ckey"))
+        .join(F.broadcast(content), "ckey")
+        .select("doc_id", (F.col("doc_id") % 49).alias("g"), "para")
+    )
+    assembled = (
+        paras.groupBy("g")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("doc_id").alias("o"),
+                                F.col("para").alias("v"),
+                            )
+                        )
+                    ),
+                    lambda x: x.getField("v"),
+                ),
+                "\n\n",
+            ).alias("text")
+        )
+        .select(F.col("g").alias("doc_id"), "text")
+    )
+    out = dedup.paragraph_dedup(assembled)
+    return out.select(
+        "doc_id",
+        "text",
+        F.col("n_paras").cast("long").alias("n_paras"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-n-gram fractions (Gopher quality-filter
+    family) over documents — pure codegen HOF algebra, zero shuffle."""
+    return textops.repetition_stats(_documents(spark, sf_dir)).select(
+        "doc_id",
+        F.col("tok_cnt").cast("long").alias("tok_cnt"),
+        "dup_2gram_frac",
+        "dup_3gram_frac",
+        "dup_4gram_frac",
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
@@ -1398,6 +1458,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recombine_conv": q_recombine_conv,
         "recombine_newest": q_recombine_newest,
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
+        "repetition_stats": q_repetition_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1756,6 +1818,50 @@ SELECT doc_id,
 FROM nib GROUP BY doc_id"""
 
     stop_list = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    # paragraph-level corpus dedup: identical assembly, keeper =
+    # first (g, idx) occurrence of each distinct paragraph, docs
+    # rebuilt from survivors in original order
+    sqls["paragraph_dedup"] = """
+WITH p AS (
+  SELECT d.doc_id, d.doc_id % 49 AS g, substr(b.text, 1, 120) AS para
+  FROM documents d JOIN documents b ON b.doc_id = d.doc_id % 250
+), p2 AS (
+  SELECT g, para,
+         row_number() OVER (PARTITION BY g ORDER BY doc_id) - 1 AS idx
+  FROM p
+), k AS (
+  SELECT g, idx, para,
+         row_number() OVER (PARTITION BY para ORDER BY g, idx) AS rn
+  FROM p2
+), rebuilt AS (
+  SELECT g, string_agg(para, chr(10) || chr(10) ORDER BY idx) AS text,
+         count(*) AS n_kept
+  FROM k WHERE rn = 1 GROUP BY g
+), np AS (
+  SELECT g, count(*) AS n_paras FROM p2 GROUP BY g
+)
+SELECT np.g AS doc_id, coalesce(rebuilt.text, '') AS text,
+       np.n_paras, coalesce(rebuilt.n_kept, 0) AS n_kept
+FROM np LEFT JOIN rebuilt ON rebuilt.g = np.g"""
+
+    # duplicate-n-gram fractions: identical whitespace tokenization +
+    # n-gram assembly; 1 - distinct/total per n in {2,3,4}
+    sqls["repetition_stats"] = """
+WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents)
+SELECT doc_id, len(ws) AS tok_cnt,
+  CASE WHEN len(ws) >= 2 THEN 1.0 - len(list_distinct(list_transform(
+    generate_series(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1])))
+    / CAST(len(ws) - 1 AS DOUBLE) ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(ws) >= 3 THEN 1.0 - len(list_distinct(list_transform(
+    generate_series(1, len(ws) - 2),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+    / CAST(len(ws) - 2 AS DOUBLE) ELSE 0.0 END AS dup_3gram_frac,
+  CASE WHEN len(ws) >= 4 THEN 1.0 - len(list_distinct(list_transform(
+    generate_series(1, len(ws) - 3),
+    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])))
+    / CAST(len(ws) - 3 AS DOUBLE) ELSE 0.0 END AS dup_4gram_frac
+FROM w"""
+
     sqls["token_stats"] = rf"""
 WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,

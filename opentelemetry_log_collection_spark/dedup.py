@@ -97,6 +97,75 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, text_col: str = "text", sep: str = "\n\n"
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the CCNet/C4 scheme:
+    Wenzek et al. 2020 §3.1 dedup "paragraphs"; C4 does it on lines):
+    split every document on ``sep``, keep only the globally FIRST
+    occurrence of each distinct paragraph (first = min (doc_id, idx)),
+    and reassemble each document from its surviving paragraphs in
+    original order. Returns (doc_id, text, n_paras, n_kept) — a doc
+    whose every paragraph was seen earlier comes back with an empty
+    text and n_kept = 0, the CCNet behavior (downstream length filters
+    drop it).
+
+    100 TB shape: paragraphs are keyed by md5 digest (same collision
+    discipline as exact_dedup) so the full text never shuffles for the
+    keeper election — ONE partial-agg groupBy(digest) elects keepers
+    (map-side combine absorbs hot paragraphs, the boilerplate-header
+    skew case a row_number-window plan would not survive), the
+    keeper set joins back on the digest the exploded frame already
+    carries (self-join off the same exchange), and ONE groupBy(doc_id)
+    reassembles. Text crosses the wire once, in the reassembly."""
+    parts = df.select(
+        F.col("doc_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "idx", "para"
+        ),
+    ).withColumn("_h", F.md5(F.col("para")))
+    keepers = parts.groupBy("_h").agg(
+        F.min(F.struct("doc_id", "idx")).alias("_keep")
+    )
+    kept = (
+        parts.join(keepers, "_h")
+        .where(
+            (F.col("doc_id") == F.col("_keep.doc_id"))
+            & (F.col("idx") == F.col("_keep.idx"))
+        )
+        .drop("_h", "_keep")
+    )
+    n_paras = df.select(
+        F.col("doc_id"),
+        F.size(F.split(F.col(text_col), F.lit(sep), -1)).alias("n_paras"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("idx").alias("o"), F.col("para").alias("v"))
+                    )
+                ),
+                lambda x: x.getField("v"),
+            ),
+            sep,
+        ).alias("text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        n_paras.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast(T.LongType()).alias(
+                "n_kept"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------

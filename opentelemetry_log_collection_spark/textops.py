@@ -68,6 +68,40 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText
+    quality-filter family: Rae et al. 2021 §A1.1): for n in {2, 3, 4},
+    the fraction of word n-grams that are duplicates of an earlier
+    n-gram, ``1 - distinct/total``. High values flag boilerplate,
+    keyword stuffing, and degenerate generations.
+
+    100 TB shape: pure per-row HOF algebra (split once, three
+    transform+array_distinct passes) inside whole-stage codegen — zero
+    shuffle, zero Python, linear work per row. Docs too short for an
+    n-gram emit 0.0 for that n (nothing repeats in an empty set)."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+
+    def dup_frac(k: int) -> Column:
+        total = n - (k - 1)
+        grams = F.transform(
+            F.sequence(F.lit(1), total),
+            lambda i: F.array_join(F.slice(toks, i, k), " "),
+        )
+        frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / total
+        return (
+            F.when(n >= k, frac).otherwise(F.lit(0.0)).alias(f"dup_{k}gram_frac")
+        )
+
+    return df.withColumn("_toks", tokens_col(F.col(text_col))).select(
+        F.col("doc_id"),
+        n.alias("tok_cnt"),
+        dup_frac(2),
+        dup_frac(3),
+        dup_frac(4),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 prefix: int = FINGERPRINT_PREFIX) -> DataFrame:
     """Prefix fingerprint (md5 of the first ``prefix`` chars) — the

@@ -361,3 +361,57 @@ def test_ivf_recall_vs_brute_force(spark):
     # measured 0.925 at this config
     print(f"ivf recall@{k} = {recall:.3f}")
     assert recall >= 0.8, f"recall@{k} = {recall:.2f}"
+
+
+def test_paragraph_dedup_keeps_first_occurrence(spark):
+    """CCNet semantics: only the globally first (doc_id, idx)
+    occurrence of a paragraph survives; docs reassemble in original
+    order; a fully-duplicate doc comes back empty with n_kept=0."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\n\nbeta\n\ngamma"),
+            (2, "beta\n\ndelta"),        # beta dies (doc 1 idx 1 wins)
+            (3, "alpha\n\nbeta"),        # everything dies
+            (0, "zeta"),                 # doc 0 sorts first
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in dedup.paragraph_dedup(df).collect()}
+    assert len(out) == 4
+    assert out[0]["text"] == "zeta"
+    assert out[1]["text"] == "alpha\n\nbeta\n\ngamma"
+    assert (out[1]["n_paras"], out[1]["n_kept"]) == (3, 3)
+    assert out[2]["text"] == "delta"  # beta removed, order kept
+    assert (out[2]["n_paras"], out[2]["n_kept"]) == (2, 1)
+    assert out[3]["text"] == ""
+    assert (out[3]["n_paras"], out[3]["n_kept"]) == (2, 0)
+
+
+def test_paragraph_dedup_within_doc(spark):
+    """A paragraph repeated INSIDE one doc also dedups (idx order
+    breaks the tie)."""
+    df = spark.createDataFrame([(7, "x\n\ny\n\nx")], ["doc_id", "text"])
+    r = dedup.paragraph_dedup(df).collect()[0]
+    assert r["text"] == "x\n\ny"
+    assert (r["n_paras"], r["n_kept"]) == (3, 2)
+
+
+def test_repetition_stats_known_fractions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 2grams: ab ba ab ba ab -> 2/5 uniq
+            (2, "w x y z"),       # all unique
+            (3, "solo"),          # too short for any n-gram
+            (4, "t t t t t"),     # maximal repetition
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.repetition_stats(df).collect()}
+    assert out[1]["tok_cnt"] == 6
+    assert out[1]["dup_2gram_frac"] == pytest.approx(1 - 2 / 5)
+    assert out[1]["dup_3gram_frac"] == pytest.approx(1 - 2 / 4)
+    assert out[2]["dup_2gram_frac"] == 0.0
+    assert out[3]["tok_cnt"] == 1
+    assert out[3]["dup_2gram_frac"] == 0.0  # no 2-grams: nothing repeats
+    assert out[4]["dup_2gram_frac"] == pytest.approx(1 - 1 / 4)
+    assert out[4]["dup_4gram_frac"] == pytest.approx(1 - 1 / 2)
