@@ -725,6 +725,35 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs -> connected components -> cluster labels, the
+    survivor-selection step after any pair-finding dedup. Edges are
+    deterministic over the documents ids: chains (i-1, i) for
+    i % 10 != 0 (diameter-9 components — forces real multi-round
+    propagation, not a one-hop star) plus cross-links (i, i+15) for
+    i % 37 == 0 that merge chains. Oracle: a recursive-CTE transitive
+    closure computing min reachable id per node."""
+    docs = _documents(spark, sf_dir).select("doc_id")
+    chain = docs.filter(F.col("doc_id") % 10 != 0).select(
+        (F.col("doc_id") - 1).alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    cross = (
+        docs.filter(F.col("doc_id") % 37 == 0)
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            (F.col("doc_id") + 15).alias("doc_b"),
+        )
+        .join(docs.select(F.col("doc_id").alias("doc_b")), "doc_b")
+        .select("doc_a", "doc_b")
+    )
+    out = dedup.connected_components(chain.unionByName(cross))
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
@@ -1459,6 +1488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recombine_newest": q_recombine_newest,
         "dedup_exact": q_dedup_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
@@ -1818,6 +1848,26 @@ SELECT doc_id,
 FROM nib GROUP BY doc_id"""
 
     stop_list = ", ".join(f"'{s}'" for s in textops.STOPWORDS)
+    # duplicate-cluster resolution: recursive-CTE transitive closure
+    # over the same deterministic edge construction; cluster id = min
+    # reachable doc id
+    sqls["dedup_clusters"] = """
+WITH RECURSIVE ed AS (
+  SELECT doc_id - 1 AS a, doc_id AS b FROM documents WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT d.doc_id AS a, d.doc_id + 15 AS b FROM documents d
+  JOIN documents t ON t.doc_id = d.doc_id + 15 WHERE d.doc_id % 37 = 0
+), e AS (
+  SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed
+), cc AS (
+  SELECT DISTINCT a AS node, a AS lbl FROM e
+  UNION
+  SELECT e.b AS node, cc.lbl FROM cc JOIN e ON e.a = cc.node
+)
+SELECT CAST(node AS BIGINT) AS doc_id,
+       CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM cc GROUP BY node"""
+
     # paragraph-level corpus dedup: identical assembly, keeper =
     # first (g, idx) occurrence of each distinct paragraph, docs
     # rebuilt from survivors in original order

@@ -166,6 +166,69 @@ def paragraph_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup PAIRS (the output of
+    minhash_near_dups / simhash_near_dups / embedding_near_dups) ->
+    connected components, labeling every doc with the MIN doc id of
+    its component (``cluster_id``). Survivor selection is then
+    ``doc_id == cluster_id`` — the step between "we found dup pairs"
+    and "we dropped the dups" that every corpus-dedup pipeline needs.
+
+    Algorithm: iterative min-label propagation over the symmetrized
+    edge list — label(v) = min(label(v), min over neighbors) until a
+    fixpoint, i.e. O(component diameter) rounds of join + partial-agg
+    groupBy. Near-dup components are LSH-bucket cliques overlapping on
+    shared docs, so diameters are small (single digits); each round
+    shuffles only (node, label) BIGINT pairs, never text. Lineage is
+    cut with localCheckpoint each round (an executor-local
+    materialization, no lineage replay at iteration k reaching back to
+    iteration 0 — the classic iterative-DataFrame trap); convergence
+    is detected by the count of labels that changed in the round (one
+    driver-side scalar per round, same discipline as GraphX/GraphFrames'
+    AggregateMessages loop). Raises if max_iter rounds don't converge
+    (a pathological chain; raise max_iter for adversarial graphs)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # min over incoming neighbor labels, then min with own label
+        prop = (
+            labels.join(e, labels["node"] == e["a"])
+            .select(F.col("b").alias("node"), "lbl")
+            .union(labels)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
 # --------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------

@@ -415,3 +415,29 @@ def test_repetition_stats_known_fractions(spark):
     assert out[3]["dup_2gram_frac"] == 0.0  # no 2-grams: nothing repeats
     assert out[4]["dup_2gram_frac"] == pytest.approx(1 - 1 / 4)
     assert out[4]["dup_4gram_frac"] == pytest.approx(1 - 1 / 2)
+
+
+def test_connected_components_chain_and_merge(spark):
+    """Min-label propagation across a diameter-5 chain plus a
+    cross-link that merges two components; isolated pairs stay
+    separate clusters."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain 1..6
+         (10, 11),                                  # separate pair
+         (6, 10),                                   # merges them
+         (20, 21)],                                 # stays its own
+        ["doc_a", "doc_b"],
+    )
+    out = {r["doc_id"]: r["cluster_id"]
+           for r in dedup.connected_components(edges).collect()}
+    assert {out[i] for i in (1, 2, 3, 4, 5, 6, 10, 11)} == {1}
+    assert out[20] == out[21] == 20
+
+
+def test_connected_components_max_iter_raises(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(edges, max_iter=2)
+    out = dedup.connected_components(edges, max_iter=15).collect()
+    assert {r["cluster_id"] for r in out} == {0}
