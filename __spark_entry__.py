@@ -1083,9 +1083,10 @@ def q_media_image(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL *compressed* image decode, end to end: 60 genuine PNG
-    containers (8-bit truecolor, CRC32-verified chunks, zlib-deflated
-    scanlines, filter type cycling y % 5 so every PNG unfilter branch
-    — None/Sub/Up/Average/Paeth — runs on every asset) ->
+    containers (8-bit, CRC32-verified chunks, zlib-deflated scanlines;
+    COLOR TYPE cycles truecolor/gray/palette/gray-alpha/RGBA per asset
+    and filter type cycles y % 5 so every PNG unfilter branch —
+    None/Sub/Up/Average/Paeth — runs at every channel width) ->
     multimodal.image_features dispatches on the magic bytes to
     decode_png: inflate + unfilter + per-channel pixel statistics
     inside mapInPandas. The DuckDB oracle reproduces every float
@@ -2050,16 +2051,23 @@ FROM px GROUP BY asset_id"""
     sqls["media_png"] = """
 WITH a AS (
   SELECT CAST(i AS BIGINT) AS asset_id,
-         16 + (i % 4) * 3 AS w, 11 + (i % 6) * 2 AS h
+         16 + (i % 4) * 3 AS w, 11 + (i % 6) * 2 AS h,
+         i % 5 AS ct  -- color-type cycle (2,0,3,4,6): rgb/gray/pal/GA/RGBA
   FROM UNNEST(generate_series(0, 59)) AS t(i)
-), px AS (
-  SELECT asset_id, w, h, x, y,
-         (asset_id * 7 + x * 5 + y * 3) % 256 AS r,
-         (asset_id * 7 + x * 5 + y * 3 + 11) % 256 AS g,
-         (asset_id * 7 + x * 5 + y * 3 + 22) % 256 AS b
+), base AS (
+  SELECT asset_id, w, h, x, y, ct,
+         (asset_id * 7 + x * 5 + y * 3) % 256 AS v
   FROM a, UNNEST(generate_series(0, 24)) AS tx(x),
        UNNEST(generate_series(0, 20)) AS ty(y)
   WHERE x < w AND y < h
+), px AS (
+  SELECT asset_id, w, h, x, y,
+         CASE ct WHEN 2 THEN (v * 3 + 5) % 256 ELSE v END AS r,
+         CASE ct WHEN 0 THEN (v + 11) % 256 WHEN 4 THEN (v + 11) % 256
+                 WHEN 2 THEN (v * 7 + 11) % 256 ELSE v END AS g,
+         CASE ct WHEN 0 THEN (v + 22) % 256 WHEN 4 THEN (v + 22) % 256
+                 WHEN 2 THEN (v * 11 + 17) % 256 ELSE v END AS b
+  FROM base
 )
 SELECT asset_id,
        CAST(max(w) AS BIGINT) AS width,

@@ -620,19 +620,50 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
     )
 
 
-def synthesize_png(asset_id: int) -> bytes:
-    """A real, openable .png: 8-bit truecolor RGB, one IDAT, filter
-    type cycling y % 5 so decode exercises every unfilter branch."""
+#: channels per PNG color type (spec §11.2.2): gray, truecolor,
+#: palette-indexed, gray+alpha, truecolor+alpha
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def png_palette_rgb(i: int) -> tuple[int, int, int]:
+    """Palette entry i -> RGB, three DISTINCT closed forms so a
+    palette-vs-index mixup in the decoder cannot cancel out."""
+    return ((i * 3 + 5) % 256, (i * 7 + 11) % 256, (i * 11 + 17) % 256)
+
+
+def _png_samples(asset_id: int, x: int, y: int, color_type: int) -> tuple:
+    """Raw per-pixel samples for the synthesizer, by color type. Gray
+    and palette index reuse the c=0 closed form; alpha channels get
+    their own c so dropping them is observable."""
+    px = png_pixel
+    if color_type == 0:
+        return (px(asset_id, x, y, 0),)
+    if color_type == 2:
+        return tuple(px(asset_id, x, y, c) for c in range(3))
+    if color_type == 3:
+        return (px(asset_id, x, y, 0),)  # palette index
+    if color_type == 4:
+        return (px(asset_id, x, y, 0), px(asset_id, x, y, 3))  # gray, A
+    return tuple(px(asset_id, x, y, c) for c in range(4))  # RGBA
+
+
+def synthesize_png(asset_id: int, color_type: int = 2) -> bytes:
+    """A real, openable .png of any standard 8-bit color type
+    (0=gray, 2=truecolor, 3=palette, 4=gray+alpha, 6=RGBA), one IDAT,
+    filter type cycling y % 5 so decode exercises every unfilter
+    branch at every channel width."""
     import struct
     import zlib
 
     w, h = png_dims(asset_id)
-    bpp = 3
+    bpp = _PNG_CHANNELS[color_type]
     raw = bytearray()
     prior = bytes(w * bpp)
     for y in range(h):
         row = bytes(
-            png_pixel(asset_id, x, y, c) for x in range(w) for c in range(3)
+            s
+            for x in range(w)
+            for s in _png_samples(asset_id, x, y, color_type)
         )
         f = y % 5
         raw.append(f)
@@ -652,10 +683,15 @@ def synthesize_png(asset_id: int) -> bytes:
                 filt = (row[i] - _paeth(a, b, c)) % 256
             raw.append(filt)
         prior = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    chunks = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if color_type == 3:
+        plte = bytes(
+            v for i in range(256) for v in png_palette_rgb(i)
+        )
+        chunks += _png_chunk(b"PLTE", plte)
     return (
-        PNG_SIG
-        + _png_chunk(b"IHDR", ihdr)
+        chunks
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
@@ -665,17 +701,17 @@ def decode_png(payload: bytes) -> dict:
     """REAL compressed image decode: walk the chunk tree (CRC32
     verified), zlib-inflate the concatenated IDAT stream, unfilter
     every scanline (all five PNG filter types), return the same
-    per-channel statistics shape as decode_bmp. Raises ValueError on
-    malformed containers and on PNG features needing a codec table
-    this engine doesn't carry (bit depth != 8, palette/alpha/gray,
-    interlace). Exact-integer channel sums => bit-for-bit-oracle-able
-    floats, same argument as decode_bmp."""
+    per-channel statistics shape as decode_bmp. All five standard
+    color types decode (gray replicates to RGB, palette indexes PLTE,
+    alpha drops); raises ValueError on malformed containers and on
+    bit depth != 8 or interlace. Exact-integer channel sums =>
+    bit-for-bit-oracle-able floats, same argument as decode_bmp."""
     import struct
     import zlib
 
     if payload[:8] != PNG_SIG:
         raise ValueError("not a PNG container")
-    pos, ihdr, idat = 8, None, bytearray()
+    pos, ihdr, idat, plte = 8, None, bytearray(), None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
         ctype = payload[pos + 4 : pos + 8]
@@ -687,6 +723,8 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
             ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -697,18 +735,28 @@ def decode_png(payload: bytes) -> dict:
     w, h, depth, ctype_n, comp, filt_m, interlace = struct.unpack(
         ">IIBBBBB", ihdr
     )
-    if (depth, ctype_n, comp, filt_m, interlace) != (8, 2, 0, 0, 0):
+    if (
+        depth != 8
+        or ctype_n not in _PNG_CHANNELS
+        or (comp, filt_m, interlace) != (0, 0, 0)
+    ):
         raise ValueError(
-            "unsupported PNG: need 8-bit truecolor, no interlace "
-            f"(depth={depth} color={ctype_n} interlace={interlace})"
+            "unsupported PNG: need 8-bit depth, standard color type, "
+            f"no interlace (depth={depth} color={ctype_n} "
+            f"interlace={interlace})"
         )
+    if ctype_n == 3:
+        if plte is None or len(plte) % 3 or not plte:
+            raise ValueError("palette PNG missing/malformed PLTE")
+        pal = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
     if w <= 0 or h <= 0:
         raise ValueError("degenerate PNG dimensions")
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as e:
         raise ValueError(f"corrupt PNG pixel stream: {e}") from e
-    bpp, stride = 3, w * 3
+    bpp = _PNG_CHANNELS[ctype_n]
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG pixel stream length mismatch")
     px = np.zeros((h, stride), dtype=np.uint8)
@@ -737,7 +785,22 @@ def decode_png(payload: bytes) -> dict:
             raise ValueError(f"unknown PNG filter type {f}")
         px[y] = recon.astype(np.uint8)
         prior = recon
-    rgb = px.reshape(h, w, 3)
+    # expand every color type to RGB (spec §11.2.2): gray replicates,
+    # palette indexes PLTE, alpha channels drop (stats are RGB-only)
+    chans = px.reshape(h, w, bpp)
+    if ctype_n == 0:
+        rgb = np.repeat(chans, 3, axis=2)
+    elif ctype_n == 2:
+        rgb = chans
+    elif ctype_n == 3:
+        idx = chans[:, :, 0]
+        if int(idx.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        rgb = pal[idx]
+    elif ctype_n == 4:
+        rgb = np.repeat(chans[:, :, :1], 3, axis=2)
+    else:  # 6: RGBA
+        rgb = chans[:, :, :3]
     sums = rgb.astype(np.int64).sum(axis=(0, 1))  # exact int per channel
     n = w * h
     return {
@@ -781,13 +844,18 @@ def _png_feature_vector(payload: bytes) -> list[float]:
     return v + [0.0] * (FEATURE_DIM - len(v))
 
 
+#: asset_id -> color type for synthesize_png_assets (cycles all five)
+PNG_CT_CYCLE = (2, 0, 3, 4, 6)
+
+
 def synthesize_png_assets(spark, n: int = 60) -> DataFrame:
     """n REAL compressed image assets (valid PNG payloads),
-    deterministic by asset_id; same driver-side/test-scale note as
-    synthesize_bmp_assets."""
+    deterministic by asset_id, color type cycling PNG_CT_CYCLE so a
+    corpus exercises every decode branch; same driver-side/test-scale
+    note as synthesize_bmp_assets."""
     rows = []
     for i in range(n):
-        blob = synthesize_png(i)
+        blob = synthesize_png(i, color_type=PNG_CT_CYCLE[i % 5])
         rows.append((i, "image", "image/png", blob, len(blob), {}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 

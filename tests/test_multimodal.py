@@ -337,9 +337,9 @@ def test_png_decode_rejects_malformed():
     blob[60] ^= 0xFF
     with pytest.raises(ValueError, match="CRC mismatch|truncated"):
         decode_png(bytes(blob))
-    # unsupported color type (palette) is rejected, not mis-decoded
+    # unsupported bit depth (16) is rejected, not mis-decoded
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 3, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
@@ -377,3 +377,45 @@ def test_image_features_mixed_bmp_png_corpus(spark):
     assert out[100]["corner_sum"] == sum(
         bmp_pixel(0, 0, 0, c) for c in range(3)
     )
+
+
+def test_png_all_color_types_round_trip():
+    """Every standard 8-bit color type decodes to the exact
+    closed-form RGB statistics: gray replicates, palette indexes
+    PLTE, alpha channels drop."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_png, png_dims, png_palette_rgb, png_pixel, synthesize_png,
+    )
+
+    a = 5
+    w, h = png_dims(a)
+    n = w * h
+    gray = sum(png_pixel(a, x, y, 0) for x in range(w) for y in range(h))
+    for ct in (0, 4):  # gray / gray+alpha -> replicated channels
+        d = decode_png(synthesize_png(a, color_type=ct))
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == gray / n
+    for ct in (2, 6):  # truecolor / RGBA -> per-channel forms
+        d = decode_png(synthesize_png(a, color_type=ct))
+        for c, key in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+            assert d[key] == sum(
+                png_pixel(a, x, y, c) for x in range(w) for y in range(h)
+            ) / n
+    d = decode_png(synthesize_png(a, color_type=3))  # palette lookup
+    for c, key in ((0, "mean_r"), (1, "mean_g"), (2, "mean_b")):
+        assert d[key] == sum(
+            png_palette_rgb(png_pixel(a, x, y, 0))[c]
+            for x in range(w) for y in range(h)
+        ) / n
+
+
+def test_png_palette_without_plte_rejected():
+    from opentelemetry_log_collection_spark.multimodal import (
+        synthesize_png, decode_png,
+    )
+
+    blob = synthesize_png(1, color_type=3)
+    # excise the PLTE chunk (length 4 + type 4 + 768 data + crc 4)
+    i = blob.index(b"PLTE") - 4
+    stripped = blob[:i] + blob[i + 12 + 768:]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)
