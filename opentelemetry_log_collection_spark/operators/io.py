@@ -264,6 +264,90 @@ def _decompress_files(df: DataFrame, codec: str | None) -> DataFrame:
     return df.withColumn("content", decomp(F.col("path"), F.col("content")))
 
 
+#: binaryFile's fixed schema, spelled out because the STREAMING file
+#: source requires an explicit schema even for fixed-schema formats
+_BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("modificationTime", T.TimestampType()),
+        T.StructField("length", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def _group_multiline(
+    df: DataFrame, arr: Column, line_start: str | None, line_end: str | None
+) -> DataFrame:
+    """Group each file's line array into multiline SPLITTER entries as
+    pure per-row HOF algebra: (path, array<line>) -> (path, line_no,
+    line). The whole file is already ONE row in whole-file mode, so
+    grouping it never needed the explode -> window -> groupBy ->
+    collect_list round-trip the previous plan paid — this form
+    shuffles NOTHING (the old plan shuffled every byte of text once)
+    and, having no window/aggregation, is legal in a streaming plan.
+
+    Every intermediate array is BOUND to a column before the per-entry
+    transform references it: a bare Column expression referenced k
+    times inside a lambda is inlined k times by Catalyst (HOFs get no
+    common-subexpression elimination), which turns this O(n) algebra
+    into O(n^2) — measured 10s/31s at a mere 50/100 entries before the
+    binding. CollapseProject keeps multi-referenced non-cheap aliases
+    materialized, so bound columns evaluate once per row.
+
+    Semantics are the byte-stream SPLITTER's (multiline.go): with
+    ``line_start`` every boundary match opens an entry and lines
+    before the first match form one leading entry; with ``line_end``
+    a match closes the entry and trailing lines form a final one."""
+    pat = line_start or line_end
+    df = df.withColumn("_arr", arr).withColumn("_n", F.size(F.col("_arr")))
+    a, n = F.col("_arr"), F.col("_n")
+    idx = F.when(n > 0, F.sequence(F.lit(0), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    df = df.withColumn(
+        "_hit",
+        F.filter(idx, lambda i: F.element_at(a, i + 1).rlike(pat)),
+    )
+    hit = F.col("_hit")
+    if line_start:
+        # boundary list = hit indices, with 0 prepended unless line 0
+        # already matches (the leading-chunk rule)
+        starts = F.when(
+            (F.size(hit) == 0) | (F.try_element_at(hit, F.lit(1)) != 0),
+            F.concat(F.array(F.lit(0)), hit),
+        ).otherwise(hit)
+    else:
+        # an entry begins after each match; a begin of n (last line
+        # matched) opens nothing
+        starts = F.filter(
+            F.concat(F.array(F.lit(0)), F.transform(hit, lambda e: e + 1)),
+            lambda s: s < n,
+        )
+    df = df.withColumn("_starts", F.when(n > 0, starts))
+    s = F.col("_starts")
+    ent = F.transform(
+        F.sequence(F.lit(1), F.size(s)),
+        lambda j: F.struct(
+            F.element_at(s, j).cast("int").alias("line_no"),
+            F.array_join(
+                F.slice(
+                    a,
+                    F.element_at(s, j) + 1,
+                    F.coalesce(F.try_element_at(s, j + 1), n)
+                    - F.element_at(s, j),
+                ),
+                "\n",
+            ).alias("line"),
+        ),
+    )
+    return df.select(F.col("path"), F.explode(ent).alias("e")).select(
+        "path",
+        F.col("e.line_no").alias("line_no"),
+        F.col("e.line").alias("line"),
+    )
+
+
 @register("file_input")
 class FileInputStage(Stage):
     """Real-file source: binaryFile scan -> charset decode -> line
@@ -409,14 +493,12 @@ class FileInputStage(Stage):
             }
         led.commit(entries)
 
-    def generate(self, spark: SparkSession) -> DataFrame:
-        from pyspark.sql.window import Window
-
-        if self.chunk_bytes or self.checkpoint_dir:
-            lines = self._generate_chunked(spark)
-            return self._lines_to_entries(lines)
-
-        raw = spark.read.format("binaryFile").load(self.include)
+    def _whole_file_lines(self, raw: DataFrame) -> DataFrame:
+        """(path, content) -> (path, line_no, line), map-only: decode,
+        split, multiline-group entirely inside each file's own row —
+        no shuffle anywhere (the previous multiline plan exploded then
+        re-grouped via a window, shuffling every byte of text), and
+        therefore legal on a STREAMING binaryFile scan too."""
         if self.compression == "auto":
             # split on path so PLAIN files stay pure-JVM (binaryFile
             # pushes path predicates into the listing; the UDF branch
@@ -435,48 +517,43 @@ class FileInputStage(Stage):
             (F.size(arr) > 0) & (F.element_at(arr, -1) == ""),
             F.slice(arr, 1, F.size(arr) - 1),
         ).otherwise(arr)
-        lines = raw.select(
+        if self.line_start or self.line_end:
+            return _group_multiline(raw, arr, self.line_start, self.line_end)
+        return raw.select(
             F.col("path"), F.posexplode(arr).alias("line_no", "line")
         )
-        if self.line_start or self.line_end:
-            m = F.col("line").rlike(self.line_start or self.line_end)
-            w = Window.partitionBy("path").orderBy("line_no")
-            if self.line_start:
-                # a matching line STARTS a new entry; count inclusive
-                grp = F.sum(m.cast(T.IntegerType())).over(
-                    w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-                )
-            else:
-                # a matching line ENDS the entry; count strictly before
-                grp = F.coalesce(
-                    F.sum(m.cast(T.IntegerType())).over(
-                        w.rowsBetween(Window.unboundedPreceding, -1)
-                    ),
-                    F.lit(0),
-                )
-            lines = (
-                lines.withColumn("_grp", grp)
-                .groupBy("path", "_grp")
-                .agg(
-                    F.min("line_no").alias("line_no"),
-                    F.array_join(
-                        F.transform(
-                            F.array_sort(
-                                F.collect_list(
-                                    F.struct(
-                                        F.col("line_no").alias("o"),
-                                        F.col("line").alias("v"),
-                                    )
-                                )
-                            ),
-                            lambda x: x.getField("v"),
-                        ),
-                        "\n",
-                    ).alias("line"),
-                )
-                .drop("_grp")
+
+    def generate(self, spark: SparkSession) -> DataFrame:
+        if self.chunk_bytes or self.checkpoint_dir:
+            lines = self._generate_chunked(spark)
+            return self._lines_to_entries(lines)
+        raw = spark.read.format("binaryFile").load(self.include)
+        return self._lines_to_entries(self._whole_file_lines(raw))
+
+    def stream(self, spark: SparkSession) -> DataFrame:
+        """Streaming tail of the landing zone: each file that APPEARS
+        under the globs becomes entries in that micro-batch — the
+        readStream analogue of the reference's glob poller (file.go's
+        200ms poll), at file granularity (Structured Streaming's file
+        source does not re-read grown files; rotation-style zones
+        write-once). Whole-file mode only: the chunk/resume ledger is
+        the BATCH resume story, the streaming checkpoint is this one.
+        Same decode/split/multiline pipeline as generate() — map-only,
+        so it plans as a stateless streaming query."""
+        if self.chunk_bytes or self.checkpoint_dir:
+            raise ValueError(
+                "stream() is whole-file mode only; chunk_bytes/"
+                "checkpoint_dir are the batch resume path"
             )
-        return self._lines_to_entries(lines)
+        raw = None
+        for pattern in self.include:  # streaming load() takes ONE path
+            part = (
+                spark.readStream.format("binaryFile")
+                .schema(_BINARY_FILE_SCHEMA)
+                .load(pattern)
+            )
+            raw = part if raw is None else raw.unionByName(part)
+        return self._lines_to_entries(self._whole_file_lines(raw))
 
     def _lines_to_entries(self, lines: DataFrame) -> DataFrame:
         """(path, line_no, line) -> entry frame + log.file.* attrs."""

@@ -298,3 +298,73 @@ def test_zstd_unavailable_is_loud(spark, tmp_path):
     stage = FileInputStage(include=str(tmp_path / "z.log.zst"))
     with pytest.raises(Exception, match="zstandard"):
         stage.generate(spark).collect()
+
+
+# ---- streaming tail of the landing zone ------------------------------
+
+
+def test_stream_equals_batch(spark, tmp_path):
+    """stream() over the same landing zone yields exactly the rows
+    generate() scans — multiline grouping and gzip decode included,
+    since the whole pipeline is map-only and shared."""
+    import gzip
+
+    (tmp_path / "a.log").write_text(
+        "2024-01-01 one\n  cont\n2024-01-02 two\n")
+    (tmp_path / "b.log.gz").write_bytes(
+        gzip.compress(b"2024-01-03 three\n"))
+    stage = FileInputStage(
+        include=str(tmp_path / "*"),
+        multiline={"line_start_pattern": r"^\d{4}-\d{2}-\d{2} "},
+    )
+    q = (
+        stage.stream(spark)
+        .writeStream.format("memory")
+        .queryName("file_stream_avnow")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["conv_id"].rsplit("/", 1)[-1], r["turn_idx"], r["text"])
+        for r in spark.sql("select * from file_stream_avnow").collect()
+    )
+    want = sorted(
+        (r["conv_id"].rsplit("/", 1)[-1], r["turn_idx"], r["text"])
+        for r in stage.generate(spark).collect()
+    )
+    assert got == want
+    assert ("a.log", 0, "2024-01-01 one\n  cont") in got
+
+
+def test_stream_picks_up_new_files(spark, tmp_path):
+    """A file that appears after the first micro-batch arrives in a
+    later one — the readStream analogue of the reference's glob poll
+    (file.go's 200ms poller)."""
+    (tmp_path / "one.log").write_text("first\n")
+    stage = FileInputStage(include=str(tmp_path / "*.log"))
+    q = (
+        stage.stream(spark)
+        .writeStream.format("memory")
+        .queryName("file_stream_live")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert [r["text"] for r in
+                spark.sql("select text from file_stream_live").collect()
+                ] == ["first"]
+        (tmp_path / "two.log").write_text("second\n")
+        q.processAllAvailable()
+        got = {r["text"] for r in
+               spark.sql("select text from file_stream_live").collect()}
+        assert got == {"first", "second"}
+    finally:
+        q.stop()
+
+
+def test_stream_rejects_chunked_mode(tmp_path, spark):
+    stage = FileInputStage(include=str(tmp_path / "*.log"),
+                           chunk_bytes=1 << 20)
+    with pytest.raises(ValueError, match="whole-file"):
+        stage.stream(spark)
