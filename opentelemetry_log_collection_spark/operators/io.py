@@ -141,11 +141,25 @@ class FileSink(Sink):
     type_name = "file_output"
 
     def __init__(self, path: str | None = None, format: str = "parquet",
-                 sort_within_partitions: bool = True, **kw):
+                 sort_within_partitions: bool = True,
+                 compression: str | None = None, **kw):
         super().__init__(**kw)
         self.path = path
         self.format = format
         self.sort_within_partitions = sort_within_partitions
+        # Spark-native codecs, JVM-side on the write path: NDJSON sinks
+        # rotate as .json.gz the way real shippers do; parquet takes
+        # its columnar codecs (snappy default when None)
+        valid = {
+            "json": ("gzip", "bzip2", "deflate", "lz4", "zstd", "none"),
+            "parquet": ("snappy", "gzip", "zstd", "lz4", "none"),
+        }.get(format, ())
+        if compression and compression not in valid:
+            raise ValueError(
+                f"unsupported compression {compression!r} for "
+                f"format {format!r} ({'|'.join(valid) or 'n/a'})"
+            )
+        self.compression = compression
 
     def write(self, df: DataFrame, base_dir: str) -> None:
         path = self.path or f"{base_dir}/{self.id}"
@@ -154,6 +168,8 @@ class FileSink(Sink):
             # deterministic file contents for fixture equality
             out = df.sortWithinPartitions("conv_id", "turn_idx")
         writer = out.write.mode("overwrite")
+        if self.compression:
+            writer = writer.option("compression", self.compression)
         if self.format == "json":
             # maps serialize fine as JSON; binary columns are base64
             writer.json(path)

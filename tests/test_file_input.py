@@ -368,3 +368,31 @@ def test_stream_rejects_chunked_mode(tmp_path, spark):
                            chunk_bytes=1 << 20)
     with pytest.raises(ValueError, match="whole-file"):
         stage.stream(spark)
+
+
+def test_file_output_gzip_round_trip(spark, tmp_path):
+    """file_output writes gzip NDJSON (Spark-native codec, JVM-side);
+    file_input reads the .json.gz parts back by extension — the full
+    compressed round trip within the engine."""
+    from opentelemetry_log_collection_spark.operators.io import FileSink
+
+    df = spark.createDataFrame(
+        [("c1", 0, "alpha"), ("c1", 1, "beta")],
+        ["conv_id", "turn_idx", "text"],
+    )
+    sink = FileSink(path=str(tmp_path / "out"), format="json",
+                    compression="gzip", id="s")
+    sink.write(df, str(tmp_path))
+    import glob
+
+    parts = glob.glob(str(tmp_path / "out" / "*.json.gz"))
+    assert parts  # codec actually applied (extension is the contract)
+    back = rows(spark, FileInputStage(include=str(tmp_path / "out/*.json.gz")))
+    texts = sorted(t for _, t, _ in back)
+    assert len(texts) == 2 and all(t.startswith("{") for t in texts)
+    assert any('"alpha"' in t for t in texts)
+
+    with pytest.raises(ValueError, match="unsupported compression"):
+        FileSink(format="json", compression="snappy", id="x")
+    with pytest.raises(ValueError, match="unsupported compression"):
+        FileSink(format="parquet", compression="bzip2", id="y")
