@@ -754,6 +754,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family composite quality gate over documents: every doc
+    labeled keep/fail with the pipe-joined rule names it tripped.
+    Oracle recomputes all five rules from the same tokenization."""
+    return textops.quality_filter(_documents(spark, sf_dir))
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
@@ -1491,6 +1498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": q_paragraph_dedup,
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
+        "quality_filter": q_quality_filter,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1868,6 +1876,34 @@ WITH RECURSIVE ed AS (
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM cc GROUP BY node"""
+
+    # composite quality gate: same five rules, same tokenization;
+    # keep = no rule fired, fail_reasons = pipe-joined rule names
+    sqls["quality_filter"] = """
+WITH w AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+), m AS (
+  SELECT doc_id, len(ws) AS n,
+    CASE WHEN len(ws) >= 3 THEN 1.0 - len(list_distinct(list_transform(
+      generate_series(1, len(ws) - 2),
+      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+      / CAST(len(ws) - 2 AS DOUBLE) ELSE 0.0 END AS dup3,
+    list_aggregate(list_transform(ws, t -> length(t)), 'sum')
+      / CAST(len(ws) AS DOUBLE) AS mean_len,
+    len(list_distinct(list_filter(ws, t -> list_contains(
+      ['the','a','of','and','to','in','is','it'], lower(t))))) AS n_stop
+  FROM w
+), f AS (
+  SELECT doc_id, concat_ws('|',
+    CASE WHEN n < 20 THEN 'too_few_tokens' END,
+    CASE WHEN n > 100000 THEN 'too_many_tokens' END,
+    CASE WHEN mean_len < 2.0 OR mean_len > 12.0
+         THEN 'mean_tok_len_out_of_range' END,
+    CASE WHEN dup3 > 0.5 THEN 'dup_3gram_frac_high' END,
+    CASE WHEN n_stop < 2 THEN 'too_few_stopwords' END) AS fail_reasons
+  FROM m
+)
+SELECT doc_id, fail_reasons = '' AS keep, fail_reasons FROM f"""
 
     # paragraph-level corpus dedup: identical assembly, keeper =
     # first (g, idx) occurrence of each distinct paragraph, docs

@@ -102,6 +102,67 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_mean_tok_len: float = 2.0,
+    max_mean_tok_len: float = 12.0,
+    max_dup_3gram_frac: float = 0.5,
+    min_distinct_stopwords: int = 2,
+) -> DataFrame:
+    """Composite document-quality gate (the Gopher/MassiveText rule
+    family, Rae et al. 2021 §A1.1): token-count bounds, mean-token-
+    length bounds, duplicate-3-gram ceiling, and a minimum count of
+    DISTINCT stopwords present (their "stop word" heuristic — real
+    prose contains several; keyword soup does not). Returns every doc
+    with ``keep`` plus the pipe-joined names of the rules it failed,
+    so downstream can filter, sample rejects, or audit rule firing
+    rates.
+
+    100 TB shape: one pass of per-row codegen HOF algebra over a
+    single tokenization — zero shuffle, zero Python, same discipline
+    as token_stats/repetition_stats."""
+    toks = F.col("_toks")
+    n = F.size(toks)
+    total3 = n - 2
+    grams3 = F.transform(
+        F.sequence(F.lit(1), total3),
+        lambda i: F.array_join(F.slice(toks, i, 3), " "),
+    )
+    dup3 = F.when(
+        n >= 3, F.lit(1.0) - F.size(F.array_distinct(grams3)) / total3
+    ).otherwise(F.lit(0.0))
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+        / n
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: F.array_contains(stop_arr, F.lower(t)))
+        )
+    )
+    rules = [
+        ("too_few_tokens", n < min_tokens),
+        ("too_many_tokens", n > max_tokens),
+        ("mean_tok_len_out_of_range",
+         (mean_len < min_mean_tok_len) | (mean_len > max_mean_tok_len)),
+        ("dup_3gram_frac_high", dup3 > max_dup_3gram_frac),
+        ("too_few_stopwords", n_stop < min_distinct_stopwords),
+    ]
+    fails = F.concat_ws(
+        "|",
+        *[F.when(cond, F.lit(name)) for name, cond in rules],
+    )
+    return df.withColumn("_toks", tokens_col(F.col(text_col))).select(
+        F.col("doc_id"),
+        (fails == "").alias("keep"),
+        fails.alias("fail_reasons"),
+    )
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 prefix: int = FINGERPRINT_PREFIX) -> DataFrame:
     """Prefix fingerprint (md5 of the first ``prefix`` chars) — the

@@ -441,3 +441,30 @@ def test_connected_components_max_iter_raises(spark):
         dedup.connected_components(edges, max_iter=2)
     out = dedup.connected_components(edges, max_iter=15).collect()
     assert {r["cluster_id"] for r in out} == {0}
+
+
+def test_quality_filter_rules(spark):
+    prose = ("the cat sat on a mat and it is nice to see that in "
+             "general words vary quite a lot here today friends") * 2
+    df = spark.createDataFrame(
+        [
+            (1, prose),                            # passes everything
+            (2, "the a of short"),                 # too few tokens
+            (3, "foo bar " * 40),                  # no stopwords + dup
+            (4, "the a " + "supercalifragilistic " * 30),  # long toks
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.quality_filter(df).collect()}
+    assert out[1]["keep"] and out[1]["fail_reasons"] == ""
+    assert not out[2]["keep"]
+    assert "too_few_tokens" in out[2]["fail_reasons"]
+    assert not out[3]["keep"]
+    assert "too_few_stopwords" in out[3]["fail_reasons"]
+    assert "dup_3gram_frac_high" in out[3]["fail_reasons"]
+    assert "mean_tok_len_out_of_range" in out[4]["fail_reasons"]
+    # thresholds are configurable
+    lax = {r["doc_id"]: r for r in textops.quality_filter(
+        df, min_tokens=2, min_distinct_stopwords=0, max_dup_3gram_frac=1.0,
+        max_mean_tok_len=50.0).collect()}
+    assert all(lax[i]["keep"] for i in (1, 2, 3, 4))
