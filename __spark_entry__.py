@@ -1107,6 +1107,25 @@ def q_media_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_png_assets(spark, n=60))
 
 
+def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL *entropy-coded* image decode, end to end: 60 genuine
+    baseline JPEGs (marker segments, standard Annex K Huffman/quant
+    tables, stuffed bitstream) -> multimodal.image_features dispatches
+    on the FFD8 magic to decode_jpeg: canonical Huffman decode +
+    dequant + IDCT inside mapInPandas. The corpus is block-constant
+    with even sample values, which makes baseline JPEG lossless BY
+    CONSTRUCTION (8*(v-128) divides the DC quantizer; every AC is
+    exactly 0) — so the DuckDB oracle is the closed pixel formula with
+    no JPEG arithmetic, yet the decoder runs its fully general path
+    (any Huffman, dequant, or IDCT defect breaks the hash)."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features,
+        synthesize_jpeg_assets,
+    )
+
+    return image_features(synthesize_jpeg_assets(spark, n=60))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, round-tripped: BMP assets -> nearest-neighbor
     resample to 8x8 (multimodal.resize_images, floor index mapping) ->
@@ -1514,6 +1533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_audio": q_media_audio,
         "media_frames": q_media_frames,
         "media_image": q_media_image,
+        "media_jpeg": q_media_jpeg,
         "media_png": q_media_png,
         "media_resize": q_media_resize,
         "media_video": q_media_video,
@@ -2078,6 +2098,35 @@ SELECT asset_id,
          AS brightness,
        CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
             AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id"""
+
+    # the real JPEG decode: block-constant even-valued corpus is
+    # lossless by construction, so the oracle is the closed pixel
+    # formula v(x,y) = 2*((a*7 + (x//8)*29 + (y//8)*53) % 128) with
+    # no JPEG arithmetic; grayscale => the three channel means
+    # coincide and corner_sum = 3*v(0,0)
+    sqls["media_jpeg"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         16 + (i % 4) * 3 AS w, 11 + (i % 6) * 2 AS h
+  FROM UNNEST(generate_series(0, 59)) AS t(i)
+), px AS (
+  SELECT asset_id, w, h, x, y,
+         2 * ((asset_id * 7 + (x // 8) * 29 + (y // 8) * 53) % 128) AS v
+  FROM a, UNNEST(generate_series(0, 24)) AS tx(x),
+       UNNEST(generate_series(0, 20)) AS ty(y)
+  WHERE x < w AND y < h
+)
+SELECT asset_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+       CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+       CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+       CAST(sum(v) AS DOUBLE) / (max(w) * max(h)) AS brightness,
+       CAST(3 * max(CASE WHEN x = 0 AND y = 0 THEN v END) AS BIGINT)
+         AS corner_sum
 FROM px GROUP BY asset_id"""
 
     # the real PNG decode: closed-form pixel formula (png_pixel is

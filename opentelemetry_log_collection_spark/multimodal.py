@@ -7,13 +7,15 @@ UDF signatures — is real and tested, and all three modalities now
 decode FOR REAL with pure-stdlib container parsers:
 
   - audio: RIFF/WAVE (stdlib ``wave``) + PCM statistics
-  - image: BMP/DIB header walk + 24-bit BGR pixel statistics, and
-    PNG — a genuinely COMPRESSED format — via stdlib zlib inflate +
-    scanline unfilter (all five PNG filter types)
+  - image: BMP/DIB header walk + 24-bit BGR pixel statistics;
+    PNG (compressed) via stdlib zlib inflate + scanline unfilter,
+    all five color types; baseline JPEG (entropy-coded) via a real
+    canonical-Huffman + dequant + IDCT decoder, stdlib + numpy
   - video: RIFF/AVI chunk-tree demux + uncompressed-DIB frame stats
 
-What stays stubbed is exactly the part that NEEDS external codecs:
-entropy-coded formats (JPEG/H.264/MP3). For those, strict mode
+What stays stubbed is the part that NEEDS external codecs: the
+remaining entropy-coded formats (H.264/MP3, progressive/chroma
+JPEG). For those, strict mode
 raises and non-strict falls back to a deterministic digest fake, so
 pipelines over compressed corpora can still be built and validated
 end-to-end before a codec library lands.
@@ -187,9 +189,10 @@ def _decode_stub(payload: bytes, kind: str, strict: bool) -> list[float]:
     external libs. A payload that is
     not a valid container for its kind is a parse error in strict
     mode and falls back to the deterministic digest fake otherwise
-    (so digest-fake corpora keep exercising the plumbing). Compressed
-    codecs (JPEG/H.264/MP3...) remain the declared stub: they need
-    media libraries this environment does not ship."""
+    (so digest-fake corpora keep exercising the plumbing). The
+    remaining compressed codecs (H.264/MP3, non-baseline JPEG) stay
+    the declared stub: they need media libraries this environment
+    does not ship."""
     if kind == "audio":
         try:
             return _wav_feature_vector(payload)
@@ -200,6 +203,8 @@ def _decode_stub(payload: bytes, kind: str, strict: bool) -> list[float]:
         try:
             if payload[:8] == PNG_SIG:
                 return _png_feature_vector(payload)
+            if payload[:2] == b"\xff\xd8":
+                return _image_feature_vector(decode_jpeg(payload))
             return _bmp_feature_vector(payload)
         except ValueError:
             if strict:
@@ -581,7 +586,7 @@ def image_features(df: DataFrame, batch_bytes: int = 64 << 20) -> DataFrame:
 # (y % 5) so every unfilter branch is exercised by every asset, and
 # the oracle reproduces the decoded statistics from the closed-form
 # pixel formula — a decoder with any filter branch wrong fails it.
-# JPEG/H.264/MP3 remain the declared stub (they need codec libraries).
+# Baseline JPEG decodes too (next section); H.264/MP3 remain the stub.
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -818,19 +823,26 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Magic-byte dispatch over the image decoders (BMP | PNG) — the
-    shared entry point for mixed-format image corpora."""
+    """Magic-byte dispatch over the image decoders (BMP | PNG | JPEG)
+    — the shared entry point for mixed-format image corpora."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    raise ValueError("unrecognized image container (need BMP or PNG)")
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    raise ValueError("unrecognized image container (need BMP, PNG, or JPEG)")
 
 
 def _png_feature_vector(payload: bytes) -> list[float]:
     """FEATURE_DIM floats from a real PNG decode (strict-mode image);
     same layout as _bmp_feature_vector."""
-    d = decode_png(payload)
+    return _image_feature_vector(decode_png(payload))
+
+
+def _image_feature_vector(d: dict) -> list[float]:
+    """FEATURE_DIM floats from any image-decoder stats dict; shared
+    normalization layout across BMP/PNG/JPEG."""
     v = [
         d["width"] / 64.0,
         d["height"] / 64.0,
@@ -857,6 +869,416 @@ def synthesize_png_assets(spark, n: int = 60) -> DataFrame:
     for i in range(n):
         blob = synthesize_png(i, color_type=PNG_CT_CYCLE[i % 5])
         rows.append((i, "image", "image/png", blob, len(blob), {}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# REAL entropy-coded image decode: baseline JPEG (ITU-T T.81)
+# --------------------------------------------------------------------
+# JPEG needs no codec library either: the container is marker
+# segments, the entropy layer is canonical Huffman over a stuffed
+# bitstream, and the transform is an 8x8 DCT — all stdlib + numpy.
+# The decoder is FULLY GENERAL for 8-bit baseline grayscale (reads
+# DQT/DHT/SOF0 from the file, Huffman-decodes DC diffs + AC run-
+# lengths, dequantizes, IDCTs, level-shifts); the encoder exists to
+# synthesize real, openable .jpg corpora (standard Annex K tables).
+#
+# Oracle strategy: DCT quantization is lossy in general, so the
+# ORACLE corpus is block-constant images with EVEN sample values —
+# there 8*(v-128) is divisible by the DC quantizer (16) and every AC
+# is exactly 0, so decode reproduces the source value bit-for-bit and
+# the DuckDB oracle is the closed pixel formula with no JPEG math.
+# The decoder doesn't know this: the same general Huffman/IDCT path
+# runs, and a lossy round-trip unit test (gradient image, nonzero
+# ACs) bounds its error against the quantization table.
+
+#: standard luminance quantization table (T.81 Annex K.1), row-major
+_JPEG_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+#: standard luminance Huffman tables (T.81 Annex K.3): (BITS, HUFFVAL)
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+)
+
+#: zigzag scan order: _ZIGZAG[k] = (row, col) of the k-th coefficient
+_ZIGZAG = sorted(
+    ((r, c) for r in range(8) for c in range(8)),
+    key=lambda rc: (
+        rc[0] + rc[1],
+        # odd anti-diagonals run top->bottom (row ascending), even
+        # ones bottom->top (col ascending) — T.81 Figure A.6
+        rc[0] if (rc[0] + rc[1]) % 2 else rc[1],
+    ),
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis C: coefs = C @ block @ C.T."""
+    c = np.zeros((8, 8))
+    for i in range(8):
+        for j in range(8):
+            c[i, j] = np.cos((2 * j + 1) * i * np.pi / 16.0) * (
+                np.sqrt(1.0 / 8) if i == 0 else 0.5
+            )
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_codes(bits, vals) -> dict:
+    """Canonical JPEG Huffman assignment (T.81 C.2): symbol ->
+    (code, length)."""
+    out, code = {}, 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:  # byte stuffing (T.81 F.1.2.3)
+                    self.buf.append(0x00)
+                self.acc, self.nbits = 0, 0
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.acc = (self.acc << (8 - self.nbits)) | ((1 << (8 - self.nbits)) - 1)
+            self.buf.append(self.acc)
+            if self.acc == 0xFF:
+                self.buf.append(0x00)
+        return bytes(self.buf)
+
+
+class _JpegBitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy data")
+                self.pos += 1  # skip the stuffed 0x00
+            self.acc, self.nbits = b, 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpeg_cat(v: int) -> int:
+    """DC/AC magnitude category (SSSS): bit length of |v|."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg_gray(pixels: np.ndarray) -> bytes:
+    """A real, openable baseline JPEG (SOI/DQT/SOF0/DHT/SOS/EOI,
+    standard Annex K tables) from an (h, w) uint8 grayscale array.
+    Edge blocks pad by edge replication."""
+    import struct
+
+    h, w = pixels.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(pixels, ((0, ph - h), (0, pw - w)), mode="edge")
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coef = _DCT_C @ (blk.astype(np.float64) - 128.0) @ _DCT_C.T
+            q = np.floor(coef / _JPEG_Q + 0.5).astype(np.int64)
+            zz = [int(q[r, c]) for (r, c) in _ZIGZAG]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _jpeg_cat(diff)
+            code, length = dc_codes[s]
+            bw.put(code, length)
+            if s:
+                bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+            for k in range(1, last_nz + 1):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    code, length = ac_codes[0xF0]  # ZRL
+                    bw.put(code, length)
+                    run -= 16
+                s = _jpeg_cat(zz[k])
+                code, length = ac_codes[(run << 4) | s]
+                bw.put(code, length)
+                v = zz[k]
+                bw.put(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < 63:
+                code, length = ac_codes[0x00]  # EOB
+                bw.put(code, length)
+    zz_q = bytes(int(_JPEG_Q[r, c]) for (r, c) in _ZIGZAG)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    def dht(tc_th: int, bits, vals) -> bytes:
+        return seg(
+            0xFFC4, bytes([tc_th]) + bytes(bits) + bytes(vals)
+        )
+
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xFFDB, b"\x00" + zz_q)  # DQT (zigzag order, table 0)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+        + dht(0x00, _JPEG_DC_BITS, _JPEG_DC_VALS)
+        + dht(0x10, _JPEG_AC_BITS, _JPEG_AC_VALS)
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")  # SOS
+        + bw.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+def decode_jpeg(payload: bytes) -> dict:
+    """REAL entropy-coded image decode, no codec library: walk the
+    marker segments, build the canonical Huffman decoders from the
+    file's own DHT, decode DC-diff + AC-run-length coefficients off
+    the stuffed bitstream, dequantize with the file's DQT, inverse-DCT
+    each block, level-shift, crop — then the same statistics shape as
+    decode_bmp (grayscale: the three channel means coincide). Baseline
+    8-bit single-component (grayscale) only; progressive, chroma, and
+    12-bit raise ValueError (cites T.81 §4.11 baseline limits)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG container")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    dc_tbl: dict[int, dict] = {}
+    ac_tbl: dict[int, dict] = {}
+    dims = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker alignment")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (seg_len,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError("truncated JPEG segment")
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = body
+            while b:
+                pq, tq = b[0] >> 4, b[0] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not baseline")
+                if len(b) < 65:
+                    raise ValueError("truncated JPEG DQT")
+                qtables[tq] = list(b[1:65])
+                b = b[65:]
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError(
+                    "only 8-bit baseline grayscale JPEG is supported "
+                    f"(precision={prec}, components={ncomp})"
+                )
+            dims = (h, w, body[8] & 0x0F)  # + component's quant table id
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("progressive/extended JPEG is not baseline")
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                tc, th = b[0] >> 4, b[0] & 0x0F
+                bits = list(b[1:17])
+                nvals = sum(bits)
+                if len(b) < 17 + nvals:
+                    raise ValueError("truncated JPEG DHT")
+                vals = list(b[17 : 17 + nvals])
+                table = {
+                    (length, code): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                (dc_tbl if tc == 0 else ac_tbl)[th] = table
+                b = b[17 + nvals :]
+        elif marker == 0xDA:  # SOS: entropy data follows to EOI
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan = (payload[pos + 2 + seg_len : payload.rfind(b"\xff\xd9")],
+                    td, ta)
+            break
+        pos += 2 + seg_len
+    if dims is None or scan is None or not qtables:
+        raise ValueError("JPEG missing SOF0/SOS/DQT")
+    h, w, tq = dims
+    if h <= 0 or w <= 0:
+        raise ValueError("degenerate JPEG dimensions")
+    data, td, ta = scan
+    if td not in dc_tbl or ta not in ac_tbl or tq not in qtables:
+        raise ValueError("JPEG scan references a missing table")
+    q2d = np.zeros((8, 8), dtype=np.int64)
+    for k, (r, c) in enumerate(_ZIGZAG):
+        q2d[r, c] = qtables[tq][k]
+
+    def huff_decode(rd: _JpegBitReader, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | rd.bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def extend(v: int, s: int) -> int:
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    rd = _JpegBitReader(data)
+    ph, pw = -(-h // 8), -(-w // 8)
+    out = np.zeros((ph * 8, pw * 8), dtype=np.uint8)
+    prev_dc = 0
+    for by in range(ph):
+        for bx in range(pw):
+            zz = np.zeros(64, dtype=np.int64)
+            s = huff_decode(rd, dc_tbl[td])
+            diff = extend(rd.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = huff_decode(rd, ac_tbl[ta])
+                if sym == 0x00:  # EOB
+                    break
+                run, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if run != 15:
+                        raise ValueError("invalid JPEG AC symbol")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("JPEG AC index overrun")
+                zz[k] = extend(rd.bits(s), s)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            for k2, (r, c) in enumerate(_ZIGZAG):
+                coef[r, c] = zz[k2] * q2d[r, c]
+            blk = _DCT_C.T @ coef @ _DCT_C
+            out[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = np.clip(
+                np.floor(blk + 128.5), 0, 255
+            ).astype(np.uint8)
+    gray = out[:h, :w]
+    tot = int(gray.astype(np.int64).sum())
+    n = w * h
+    mean = float(tot) / n
+    return {
+        "width": int(w),
+        "height": int(h),
+        "n_pixels": n,
+        # grayscale: the three channel means coincide (same contract
+        # as decode_png's gray color types)
+        "mean_b": mean,
+        "mean_g": mean,
+        "mean_r": mean,
+        "brightness": mean,
+        "corner_sum": int(gray[0, 0]) * 3,
+    }
+
+
+def jpeg_dims(asset_id: int) -> tuple[int, int]:
+    return 16 + (asset_id % 4) * 3, 11 + (asset_id % 6) * 2
+
+
+def jpeg_block_value(asset_id: int, bx: int, by: int) -> int:
+    """Closed-form sample value of the 8x8 block at (bx, by) — EVEN by
+    construction, so 8*(v-128) divides the DC quantizer (16) exactly,
+    every AC is exactly 0, and baseline decode reproduces v
+    bit-for-bit (the lossless-by-construction oracle corpus)."""
+    return 2 * ((asset_id * 7 + bx * 29 + by * 53) % 128)
+
+
+def synthesize_jpeg(asset_id: int) -> bytes:
+    w, h = jpeg_dims(asset_id)
+    img = np.zeros((h, w), dtype=np.uint8)
+    for by in range(-(-h // 8)):
+        for bx in range(-(-w // 8)):
+            img[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = (
+                jpeg_block_value(asset_id, bx, by)
+            )
+    return encode_jpeg_gray(img)
+
+
+def synthesize_jpeg_assets(spark, n: int = 60) -> DataFrame:
+    """n REAL entropy-coded image assets (valid baseline JPEGs),
+    deterministic by asset_id; same driver-side/test-scale note as
+    synthesize_bmp_assets."""
+    rows = []
+    for i in range(n):
+        blob = synthesize_jpeg(i)
+        rows.append((i, "image", "image/jpeg", blob, len(blob), {}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

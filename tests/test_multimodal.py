@@ -419,3 +419,86 @@ def test_png_palette_without_plte_rejected():
     stripped = blob[:i] + blob[i + 12 + 768:]
     with pytest.raises(ValueError, match="PLTE"):
         decode_png(stripped)
+
+
+# ---- JPEG: real entropy-coded decode (Huffman + dequant + IDCT) ------
+
+
+def test_jpeg_block_constant_exact():
+    """Even-valued block-constant images survive baseline JPEG
+    LOSSLESSLY (DC divisible by the quantizer, ACs exactly 0), so the
+    general decoder must reproduce the closed form bit-for-bit."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_jpeg, jpeg_block_value, jpeg_dims, synthesize_jpeg,
+    )
+
+    for a in (0, 3, 7, 23):
+        w, h = jpeg_dims(a)
+        d = decode_jpeg(synthesize_jpeg(a))
+        assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+        want = sum(
+            jpeg_block_value(a, x // 8, y // 8)
+            for x in range(w) for y in range(h)
+        )
+        assert d["mean_r"] == d["mean_g"] == d["mean_b"] == want / (w * h)
+        assert d["corner_sum"] == 3 * jpeg_block_value(a, 0, 0)
+
+
+def test_jpeg_lossy_round_trip_bounded():
+    """A smooth gradient exercises the full entropy path — nonzero
+    ACs, run lengths, multi-bit Huffman codes — and must come back
+    within quantization-error distance of the source."""
+    import numpy as np
+
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_jpeg, encode_jpeg_gray,
+    )
+
+    img = np.clip(
+        np.add.outer(np.arange(40) * 2.0, np.arange(56) * 1.5), 0, 255
+    ).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg_gray(img))
+    assert (d["width"], d["height"]) == (56, 40)
+    assert abs(d["mean_r"] - img.mean()) < 2.0
+
+
+def test_jpeg_rejects_malformed():
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_jpeg, synthesize_jpeg,
+    )
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"BM" + b"\x00" * 32)
+    blob = bytearray(synthesize_jpeg(1))
+    # flip SOF0 (FFC0) to progressive SOF2 (FFC2): reject, not garble
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="not baseline"):
+        decode_jpeg(bytes(blob))
+    # truncated entropy stream
+    blob2 = synthesize_jpeg(2)
+    with pytest.raises(ValueError):
+        decode_jpeg(blob2[: len(blob2) // 2])
+
+
+def test_image_features_mixed_three_formats(spark):
+    """One corpus mixing BMP, PNG, and JPEG decodes in a single
+    image_features pass, each by its own container semantics."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features, jpeg_block_value,
+        synthesize_bmp_assets, synthesize_jpeg_assets,
+        synthesize_png_assets,
+    )
+
+    bmp = synthesize_bmp_assets(spark, n=2).withColumn(
+        "asset_id", F.col("asset_id") + 100
+    )
+    png = synthesize_png_assets(spark, n=2).withColumn(
+        "asset_id", F.col("asset_id") + 200
+    )
+    jpg = synthesize_jpeg_assets(spark, n=2)
+    out = {r["asset_id"]: r for r in
+           image_features(bmp.unionByName(png).unionByName(jpg)).collect()}
+    assert len(out) == 6
+    assert out[0]["corner_sum"] == 3 * jpeg_block_value(0, 0, 0)
+    assert out[1]["corner_sum"] == 3 * jpeg_block_value(1, 0, 0)
