@@ -754,6 +754,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization rollup over the events table (8h
+    inactivity gap — the table's per-user cadence makes that yield a
+    real mix of single- and multi-event sessions). ONE shuffle on
+    user_id shared by the window and the rollup; oracle is the same
+    lag + running-sum window in SQL."""
+    from opentelemetry_log_collection_spark import sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessions.session_stats(events, gap_s=28800)
+    return out.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_idx").cast("long").alias("session_idx"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.unix_micros(F.col("t_start").cast("timestamp_ltz")).alias(
+            "t_start_us"
+        ),
+        F.unix_micros(F.col("t_end").cast("timestamp_ltz")).alias(
+            "t_end_us"
+        ),
+        F.col("duration_us").cast("long").alias("duration_us"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family composite quality gate over documents: every doc
     labeled keep/fail with the pipe-joined rule names it tripped.
@@ -1518,6 +1542,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "sessionize": q_sessionize,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1896,6 +1921,27 @@ WITH RECURSIVE ed AS (
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM cc GROUP BY node"""
+
+    # gap-based sessionization: identical lag + running-sum window
+    sqls["sessionize"] = """
+WITH x AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+), s AS (
+  SELECT user_id, ts, event_id, us,
+         sum(CASE WHEN prev IS NULL OR us - prev > 28800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM x
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events,
+       min(us) AS t_start_us, max(us) AS t_end_us,
+       max(us) - min(us) AS duration_us
+FROM s GROUP BY user_id, session_idx"""
 
     # composite quality gate: same five rules, same tokenization;
     # keep = no rule fired, fail_reasons = pipe-joined rule names

@@ -1,0 +1,72 @@
+"""Gap-based sessionization — the classic log-analytics rollup the
+reference's downstream consumers run on collected events (the
+reference itself stops at transport; SURVEY.md §2.6 "conventional
+engine categories" covers windowed aggregation).
+
+100 TB shape: ONE shuffle, partitioned by the actor key. The lag +
+running-sum window and the per-session aggregation share the same
+partitioning (user_id), so Catalyst plans a single Exchange and the
+groupBy rides it map-side. Skew note: a single pathological actor
+(one bot = millions of events) serializes its own partition — the
+window is order-dependent per actor, so salting cannot apply; cap or
+pre-filter such actors upstream if profiles show them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: default inactivity gap that closes a session
+DEFAULT_GAP_S = 1800
+
+
+def _us(ts_col: str):
+    # microsecond epoch: gap arithmetic at full timestamp precision
+    # (unix_timestamp truncates to seconds and would mis-split
+    # sessions whose gap straddles a second boundary)
+    return F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+
+
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+) -> DataFrame:
+    """Assign every event a per-user session index: a session closes
+    after ``gap_s`` seconds of inactivity. ``order_col`` breaks
+    timestamp ties deterministically (hash-equal output on reruns).
+    Adds ``session_idx`` (1-based per user) to the input frame."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, order_col)
+    prev = F.lag(_us(ts_col)).over(w)
+    new_session = (
+        prev.isNull() | (_us(ts_col) - prev > gap_s * 1_000_000)
+    ).cast("int")
+    return df.withColumn(
+        "session_idx",
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    gap_s: int = DEFAULT_GAP_S,
+) -> DataFrame:
+    """Per-session rollup: event count, start/end, exact microsecond
+    duration. Shares sessionize's partitioning, so the aggregation
+    adds no second shuffle."""
+    s = sessionize(df, user_col, ts_col, order_col, gap_s)
+    return s.groupBy(user_col, "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("t_start"),
+        F.max(ts_col).alias("t_end"),
+        (F.max(_us(ts_col)) - F.min(_us(ts_col))).alias("duration_us"),
+    )
