@@ -754,6 +754,22 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_windowed_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h-window per-event-type rate rollup over events —
+    Catalyst-native F.window bucketing, one partial-agg shuffle.
+    Oracle: epoch-truncation arithmetic in SQL."""
+    from opentelemetry_log_collection_spark import sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessions.windowed_rates(events, window_s=3600)
+    return out.select(
+        "w_start_us",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("value_sum").cast("double").alias("value_sum"),
+    )
+
+
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization rollup over the events table (8h
     inactivity gap — the table's per-user cadence makes that yield a
@@ -1543,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
         "sessionize": q_sessionize,
+        "windowed_rates": q_windowed_rates,
         "minhash_pairs": q_minhash_pairs,
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
@@ -1921,6 +1938,16 @@ WITH RECURSIVE ed AS (
 SELECT CAST(node AS BIGINT) AS doc_id,
        CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM cc GROUP BY node"""
+
+    # tumbling-window rates: epoch-aligned 1h buckets, same epoch
+    # arithmetic DuckDB-side
+    sqls["windowed_rates"] = """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000
+         AS w_start_us,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(value) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2"""
 
     # gap-based sessionization: identical lag + running-sum window
     sqls["sessionize"] = """

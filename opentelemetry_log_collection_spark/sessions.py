@@ -53,6 +53,37 @@ def sessionize(
     )
 
 
+def windowed_rates(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_s: int = 3600,
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window rate rollup: per (window, key) event count and
+    value sum — the volumetric dashboard query over collected logs.
+    ``F.window`` is Catalyst-native (epoch-aligned bucketing, ONE
+    partial-agg shuffle on (window, key)) and is the same expression a
+    streaming plan uses under a watermark, so batch and streaming
+    rollups share semantics."""
+    w = F.window(F.col(ts_col), f"{window_s} seconds")
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp_ltz")).alias(
+                "w_start_us"
+            ),
+            key_col,
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def session_stats(
     df: DataFrame,
     user_col: str = "user_id",

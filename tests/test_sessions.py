@@ -56,3 +56,24 @@ def test_session_stats_rollup_and_plan(spark):
     plan = sessions.session_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_windowed_rates_buckets_epoch_aligned(spark):
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            (0, datetime(2024, 1, 1, 0, 10), 1, "click", 2.0),
+            (1, datetime(2024, 1, 1, 0, 50), 1, "click", 3.0),
+            (2, datetime(2024, 1, 1, 1, 5), 1, "click", 5.0),
+            (3, datetime(2024, 1, 1, 0, 20), 2, "view", 1.0),
+        ],
+        ["event_id", "ts", "user_id", "event_type", "value"],
+    )
+    out = {(r["w_start_us"], r["event_type"]): r
+           for r in sessions.windowed_rates(df).collect()}
+    h0 = 1704067200 * 1_000_000  # 2024-01-01T00Z epoch us
+    assert out[(h0, "click")]["n_events"] == 2
+    assert out[(h0, "click")]["value_sum"] == 5.0
+    assert out[(h0 + 3600_000_000, "click")]["n_events"] == 1
+    assert out[(h0, "view")]["n_events"] == 1
