@@ -148,6 +148,12 @@ def main() -> None:
         "ann_ivf",
         "decontaminate",
         "pack_sequences",
+        "paragraph_dedup",
+        "dedup_clusters",
+        "quality_filter",
+        "repetition_stats",
+        "sessionize",
+        "windowed_rates",
     ]
     qmap = E.queries()
     for name in bench_queries:
