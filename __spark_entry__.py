@@ -801,6 +801,42 @@ def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textops.quality_filter(_documents(spark, sf_dir))
 
 
+def q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup pairs via the inverted shingle
+    index (no MinHash, no missed pairs): pairs materialize only from
+    shared shingles, threshold evaluated integer-exactly as
+    inter*den >= union*num. Oracle: the same index join in SQL."""
+    docs = _documents(spark, sf_dir).select("doc_id", "text")
+    out = dedup.jaccard_ngram_pairs(docs, sim_num=1, sim_den=4)
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("inter_cnt").cast("long").alias("inter_cnt"),
+        F.col("union_cnt").cast("long").alias("union_cnt"),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over the transcript turns: redact email/IPv4/
+    card/phone spans and report exact per-rule match counts — pure
+    regexp_replace/regexp_count codegen, zero shuffle. The Tomcat
+    access-log turns carry real IPv4s, so the redaction provably
+    rewrites text (n_ipv4 > 0 on ~40% of rows)."""
+    t = materialized_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    out = textops.redact_pii(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "red_text",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_card").cast("long").alias("n_card"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+    )
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
@@ -1558,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "repetition_stats": q_repetition_stats,
         "quality_filter": q_quality_filter,
+        "jaccard_pairs": q_jaccard_pairs,
+        "redact_pii": q_redact_pii,
         "sessionize": q_sessionize,
         "windowed_rates": q_windowed_rates,
         "minhash_pairs": q_minhash_pairs,
@@ -1997,6 +2035,49 @@ WITH w AS (
   FROM m
 )
 SELECT doc_id, fail_reasons = '' AS keep, fail_reasons FROM f"""
+
+    # exact n-gram Jaccard: inverted shingle index, integer-exact
+    # threshold inter*4 >= union*1 (Jaccard >= 0.25)
+    sqls["jaccard_pairs"] = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents
+), sh0 AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM w, UNNEST(generate_series(1, len(ws) - 2)) AS t(i)
+), shd AS (
+  SELECT DISTINCT doc_id, shingle FROM sh0
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter_cnt
+  FROM shd a JOIN shd b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.doc_a, i.doc_b, i.inter_cnt,
+       na.n + nb.n - i.inter_cnt AS union_cnt
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE i.inter_cnt * 4 >= (na.n + nb.n - i.inter_cnt)"""
+
+    # PII redaction over transcript turns: same rule chain, counts on
+    # the ORIGINAL text (RE2 'g' = Java replace-all; patterns are in
+    # the RE2 ∩ java.util.regex common subset — textops.PII_RULES)
+    sqls["redact_pii"] = ORACLE_CTE + r"""
+SELECT conv_id, turn_idx,
+  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+    '\b\d{13,19}\b', '<CARD>', 'g'),
+    '\+\d{7,15}\b', '<PHONE>', 'g') AS red_text,
+  len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+  len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+  len(regexp_extract_all(text, '\b\d{13,19}\b')) AS n_card,
+  len(regexp_extract_all(text, '\+\d{7,15}\b')) AS n_phone
+FROM transcripts"""
 
     # paragraph-level corpus dedup: identical assembly, keeper =
     # first (g, idx) occurrence of each distinct paragraph, docs

@@ -154,6 +154,8 @@ def main() -> None:
         "repetition_stats",
         "sessionize",
         "windowed_rates",
+        "jaccard_pairs",
+        "redact_pii",
     ]
     qmap = E.queries()
     for name in bench_queries:

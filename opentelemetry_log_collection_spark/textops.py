@@ -68,6 +68,54 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# PII redaction (training-data scrubbing)
+# --------------------------------------------------------------------
+
+#: (name, pattern, replacement) — ordered; every pattern is written in
+#: the common subset of java.util.regex (Spark) and RE2 (DuckDB/Go):
+#: no lookaround, no backreferences, \b/\d/char-classes only. Order
+#: matters: email first so its local part's digits can't be eaten by
+#: the number rules; card before phone so a 13+-digit run isn't
+#: half-matched as a phone.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("card", r"\b\d{13,19}\b", "<CARD>"),
+    ("phone", r"\+\d{7,15}\b", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    rules: tuple[tuple[str, str, str], ...] = PII_RULES,
+    out_col: str = "red_text",
+) -> DataFrame:
+    """Scrub PII-shaped spans (emails, IPv4s, card-length digit runs,
+    +international phone numbers) from ``text_col``, appending the
+    redacted text plus one exact per-rule match count column
+    (``n_<rule>``) — the audit trail a compliance pipeline keeps.
+
+    100 TB shape: a chain of ``regexp_replace`` + ``regexp_count``
+    expressions, all whole-stage codegen, zero shuffle, zero Python —
+    the row never leaves its input partition. Counts are taken on the
+    ORIGINAL text, before any rule rewrites it, so each count reports
+    what that rule saw in the input, independent of rule order (the
+    replacement chain itself stays ordered: see PII_RULES).
+
+    Redaction is span replacement, not hashing: reversible-pseudonym
+    variants (HMAC the span) drop in by swapping the replacement
+    literal for an expression."""
+    t = F.col(text_col)
+    red = t
+    counts = []
+    for name, pat, repl in rules:
+        counts.append(F.regexp_count(t, F.lit(pat)).alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", red.alias(out_col), *counts)
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (the Gopher/MassiveText
     quality-filter family: Rae et al. 2021 §A1.1): for n in {2, 3, 4},

@@ -468,3 +468,54 @@ def test_quality_filter_rules(spark):
         df, min_tokens=2, min_distinct_stopwords=0, max_dup_3gram_frac=1.0,
         max_mean_tok_len=50.0).collect()}
     assert all(lax[i]["keep"] for i in (1, 2, 3, 4))
+
+
+def test_jaccard_ngram_pairs_exact_counts(spark, docs):
+    # docs 0 and 3 are identical (J=1); 0/1 and 1/3 differ in the last
+    # word only: 7 shingles each, 6 shared -> J = 6/8 = 0.75
+    out = {(r["doc_a"], r["doc_b"]): r
+           for r in dedup.jaccard_ngram_pairs(docs, sim_num=1, sim_den=2)
+           .collect()}
+    assert set(out) == {(0, 1), (0, 3), (1, 3)}
+    assert out[(0, 3)]["inter_cnt"] == out[(0, 3)]["union_cnt"] == 7
+    assert out[(0, 1)]["inter_cnt"] == 6 and out[(0, 1)]["union_cnt"] == 8
+    # threshold above 0.75 keeps only the exact dup
+    strict = dedup.jaccard_ngram_pairs(docs, sim_num=4, sim_den=5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in strict} == {(0, 3)}
+
+
+def test_jaccard_ngram_pairs_max_df_drops_stop_shingles(spark):
+    # every doc shares the "a b c" boilerplate shingle; with max_df=2
+    # the hot shingle is dropped from the INDEX so no pair forms, but
+    # union sizes would still count it if a pair formed another way
+    rows = [(i, f"a b c tail{i} x{i} y{i}") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    allp = dedup.jaccard_ngram_pairs(df, sim_num=0, sim_den=1, max_df=None)
+    assert allp.count() == 6  # all pairs share the boilerplate shingle
+    capped = dedup.jaccard_ngram_pairs(df, sim_num=0, sim_den=1, max_df=2)
+    assert capped.count() == 0
+
+
+def test_redact_pii_rules_and_counts(spark):
+    rows = [
+        (1, "mail bob.smith+x@corp-mail.example.org now"),
+        (2, "from 10.1.2.3 to 192.168.255.1 said hi"),
+        (3, "card 4111111111111111 phone +14155550123"),
+        (4, "version 1.2.3.4.5 is not an ip"),
+        (5, "clean text, nothing to scrub"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in textops.redact_pii(df).collect()}
+    assert out[1]["red_text"] == "mail <EMAIL> now"
+    assert out[1]["n_email"] == 1
+    assert out[2]["red_text"] == "from <IP> to <IP> said hi"
+    assert out[2]["n_ipv4"] == 2
+    # 16-digit run is a card; 11 digits after + is phone, not card
+    assert out[3]["red_text"] == "card <CARD> phone <PHONE>"
+    assert out[3]["n_card"] == 1 and out[3]["n_phone"] == 1
+    # dotted version string: the first 4 octets match the IPv4 shape
+    # (documented limitation of span regexes — flagged, not hidden)
+    assert out[4]["n_ipv4"] == 1
+    assert out[5]["red_text"] == out[5]["text"]
+    assert all(out[5][f"n_{k}"] == 0
+               for k in ("email", "ipv4", "card", "phone"))
