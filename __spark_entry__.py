@@ -1202,6 +1202,24 @@ def q_media_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(synthesize_jpeg_assets(spark, n=60))
 
 
+def q_media_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL LZW-compressed image decode, end to end: 60 genuine GIF89a
+    containers (256-entry global color table, GCE extension blocks,
+    sub-block framing) -> multimodal.image_features dispatches on the
+    GIF8 magic to decode_gif: a full variable-width LZW inflate +
+    palette mapping inside mapInPandas. Every asset's 525-pixel index
+    stream crosses the 512-entry dictionary boundary, so the 9->10-bit
+    width transition runs on every row; the DuckDB oracle reproduces
+    every float bit-for-bit from the closed-form index+palette
+    formulas (multimodal.gif_index / gif_palette_rgb)."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        image_features,
+        synthesize_gif_assets,
+    )
+
+    return image_features(synthesize_gif_assets(spark, n=60))
+
+
 def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image resize, round-tripped: BMP assets -> nearest-neighbor
     resample to 8x8 (multimodal.resize_images, floor index mapping) ->
@@ -1615,6 +1633,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_image": q_media_image,
         "media_jpeg": q_media_jpeg,
         "media_png": q_media_png,
+        "media_gif": q_media_gif,
         "media_resize": q_media_resize,
         "media_video": q_media_video,
         "ann_ivf": q_ann_ivf,
@@ -2306,6 +2325,40 @@ WITH a AS (
                  WHEN 2 THEN (v * 7 + 11) % 256 ELSE v END AS g,
          CASE ct WHEN 0 THEN (v + 22) % 256 WHEN 4 THEN (v + 22) % 256
                  WHEN 2 THEN (v * 11 + 17) % 256 ELSE v END AS b
+  FROM base
+)
+SELECT asset_id,
+       CAST(max(w) AS BIGINT) AS width,
+       CAST(max(h) AS BIGINT) AS height,
+       CAST(max(w) * max(h) AS BIGINT) AS n_pixels,
+       CAST(sum(b) AS DOUBLE) / (max(w) * max(h)) AS mean_b,
+       CAST(sum(g) AS DOUBLE) / (max(w) * max(h)) AS mean_g,
+       CAST(sum(r) AS DOUBLE) / (max(w) * max(h)) AS mean_r,
+       CAST(sum(b) + sum(g) + sum(r) AS DOUBLE) / (3 * max(w) * max(h))
+         AS brightness,
+       CAST(sum(CASE WHEN x = 0 AND y = 0 THEN b + g + r ELSE 0 END)
+            AS BIGINT) AS corner_sum
+FROM px GROUP BY asset_id"""
+
+    # the real GIF decode: closed-form index formula mapped through
+    # the affine palette (gif_palette_rgb); dims 16+(i%4)*3 x
+    # 11+(i%6)*2; exact-integer channel sums
+    sqls["media_gif"] = """
+WITH a AS (
+  SELECT CAST(i AS BIGINT) AS asset_id,
+         16 + (i % 4) * 3 AS w, 11 + (i % 6) * 2 AS h
+  FROM UNNEST(generate_series(0, 59)) AS t(i)
+), base AS (
+  SELECT asset_id, w, h, x, y,
+         (asset_id * 7 + x * 5 + y * 3) % 256 AS v
+  FROM a, UNNEST(generate_series(0, 24)) AS tx(x),
+       UNNEST(generate_series(0, 20)) AS ty(y)
+  WHERE x < w AND y < h
+), px AS (
+  SELECT asset_id, w, h, x, y,
+         (v * 3 + 5) % 256 AS r,
+         (v * 7 + 11) % 256 AS g,
+         (v * 11 + 17) % 256 AS b
   FROM base
 )
 SELECT asset_id,

@@ -823,15 +823,19 @@ def decode_png(payload: bytes) -> dict:
 
 
 def decode_image(payload: bytes) -> dict:
-    """Magic-byte dispatch over the image decoders (BMP | PNG | JPEG)
-    — the shared entry point for mixed-format image corpora."""
+    """Magic-byte dispatch over the image decoders (BMP | PNG | JPEG |
+    GIF) — the shared entry point for mixed-format image corpora."""
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
-    raise ValueError("unrecognized image container (need BMP, PNG, or JPEG)")
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload)
+    raise ValueError(
+        "unrecognized image container (need BMP, PNG, JPEG, or GIF)"
+    )
 
 
 def _png_feature_vector(payload: bytes) -> list[float]:
@@ -1279,6 +1283,248 @@ def synthesize_jpeg_assets(spark, n: int = 60) -> DataFrame:
     for i in range(n):
         blob = synthesize_jpeg(i)
         rows.append((i, "image", "image/jpeg", blob, len(blob), {}))
+    return spark.createDataFrame(rows, ASSET_SCHEMA)
+
+
+# --------------------------------------------------------------------
+# REAL GIF decode: LZW codestream + global color table
+# --------------------------------------------------------------------
+# GIF87a/89a is the third *compressed* format the engine decodes for
+# real, stdlib-only: a full variable-width LZW codec (the same family
+# as compress/Unix .Z), 256-entry global color table, sub-block
+# framing, extension-block skipping. The synthetic corpus crosses the
+# 512-entry dictionary boundary on every asset (525-pixel images over
+# a 256-symbol alphabet), so the 9->10-bit code-width transition and
+# the cScSc special case (code == next_code) are exercised by the
+# oracle, not just by unit tests. Interlaced images and local color
+# tables raise ValueError (declared boundary, same discipline as
+# non-baseline JPEG).
+
+
+def gif_dims(asset_id: int) -> tuple[int, int]:
+    return 16 + (asset_id % 4) * 3, 11 + (asset_id % 6) * 2
+
+
+def gif_index(asset_id: int, x: int, y: int) -> int:
+    """Closed-form palette index at image coords (x right, y down)."""
+    return (asset_id * 7 + x * 5 + y * 3) % 256
+
+
+def gif_palette_rgb(i: int) -> tuple[int, int, int]:
+    """Global-color-table entry i — affine formulas coprime with 256
+    so all three channels cycle the full byte range."""
+    return (i * 3 + 5) % 256, (i * 7 + 11) % 256, (i * 11 + 17) % 256
+
+
+class _LzwBitWriter:
+    """LSB-first bit packer (GIF appendix F byte order — the OPPOSITE
+    of JPEG's MSB-first stream)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, width: int) -> None:
+        self.acc |= code << self.nbits
+        self.nbits += width
+        while self.nbits >= 8:
+            self.out.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.acc & 0xFF)
+        return bytes(self.out)
+
+
+def lzw_encode(indices: bytes, mcs: int = 8) -> bytes:
+    """Real GIF LZW: variable code width mcs+1..12, clear-code reset
+    at dictionary overflow, width bump synchronized with the decoder's
+    (next_code == 1<<width) rule."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    wr = _LzwBitWriter()
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, end + 1, mcs + 1
+
+    table, next_code, width = reset()
+    wr.put(clear, width)
+    w = b""
+    for c in indices:
+        wc = w + bytes([c])
+        if wc in table:
+            w = wc
+            continue
+        wr.put(table[w], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            # the encoder's next_code runs ONE ahead of the decoder's
+            # (the decoder adds its entry for a code only after
+            # reading it), so the width bump fires at (1<<width)+1
+            # here to align with the decoder's (1<<width) rule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            wr.put(clear, width)
+            table, next_code, width = reset()
+        w = bytes([c])
+    if w:
+        wr.put(table[w], width)
+    wr.put(end, width)
+    return wr.flush()
+
+
+def lzw_decode(data: bytes, mcs: int) -> bytes:
+    """General GIF LZW decoder: handles clear/end codes, the
+    code == next_code (cScSc) case, and 12-bit width cap."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    table: list[bytes] = []
+    next_code = width = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, next_code, width, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        next_code, width, prev = end + 1, mcs + 1, None
+
+    reset()
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("LZW stream ended without end code")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("first LZW code not a literal")
+            entry = table[code]
+        elif code < next_code:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]  # the cScSc pattern
+        else:
+            raise ValueError("LZW code out of range")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def synthesize_gif(asset_id: int) -> bytes:
+    """A real, openable .gif: GIF89a header, 256-entry global color
+    table, a graphic-control extension (exercises the decoder's
+    extension-skip path), one non-interlaced LZW-compressed image."""
+    import struct
+
+    w, h = gif_dims(asset_id)
+    out = bytearray(b"GIF89a")
+    # logical screen descriptor: GCT present, 8 bits/channel, 2^8 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes(gif_palette_rgb(i))
+    out += b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE, no transparency
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)  # descriptor
+    idx = bytes(gif_index(asset_id, x, y) for y in range(h) for x in range(w))
+    stream = lzw_encode(idx, mcs=8)
+    out += b"\x08"  # LZW minimum code size
+    for i in range(0, len(stream), 255):
+        block = stream[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> dict:
+    """REAL compressed image decode: parse the GIF container, inflate
+    the LZW codestream, map indices through the global color table,
+    return the same per-channel statistics dict as decode_bmp (exact
+    integer sums; the mean divisions are correctly-rounded IEEE
+    float64 in any engine). Raises ValueError on malformed input,
+    interlaced images, or local color tables (declared boundary)."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF container")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    if not packed & 0x80:
+        raise ValueError("GIF without a global color table")
+    gct_n = 2 << (packed & 0x07)
+    gct = payload[pos : pos + 3 * gct_n]
+    pos += 3 * gct_n
+    while pos < len(payload):
+        b0 = payload[pos]
+        pos += 1
+        if b0 == 0x3B:  # trailer
+            raise ValueError("GIF trailer before any image block")
+        if b0 == 0x21:  # extension: label + sub-blocks until 0
+            pos += 1
+            while payload[pos]:
+                pos += 1 + payload[pos]
+            pos += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        _lx, _ty, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        if ipacked & 0x80:
+            raise ValueError("local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("interlaced GIF unsupported")
+        mcs = payload[pos]
+        pos += 1
+        stream = bytearray()
+        while payload[pos]:
+            n = payload[pos]
+            stream += payload[pos + 1 : pos + 1 + n]
+            pos += 1 + n
+        idx = np.frombuffer(lzw_decode(bytes(stream), mcs), dtype=np.uint8)
+        if idx.size != w * h:
+            raise ValueError(
+                f"LZW decoded {idx.size} pixels for a {w}x{h} image"
+            )
+        pal = np.frombuffer(gct, dtype=np.uint8).reshape(gct_n, 3)
+        px = pal[idx]  # (w*h, 3) RGB rows in image order
+        sums = px.astype(np.int64).sum(axis=0)  # exact int per channel
+        n = w * h
+        return {
+            "width": w,
+            "height": h,
+            "n_pixels": n,
+            "mean_b": float(sums[2]) / n,
+            "mean_g": float(sums[1]) / n,
+            "mean_r": float(sums[0]) / n,
+            "brightness": float(sums.sum()) / (3 * n),
+            "corner_sum": int(px[0].astype(np.int64).sum()),
+        }
+    raise ValueError("GIF ended without an image block")
+
+
+def synthesize_gif_assets(spark, n: int = 60) -> DataFrame:
+    """n REAL LZW-compressed image assets (valid GIF payloads),
+    deterministic by asset_id; same driver-side/test-scale note as
+    synthesize_bmp_assets."""
+    rows = []
+    for i in range(n):
+        blob = synthesize_gif(i)
+        rows.append((i, "image", "image/gif", blob, len(blob), {}))
     return spark.createDataFrame(rows, ASSET_SCHEMA)
 
 

@@ -502,3 +502,99 @@ def test_image_features_mixed_three_formats(spark):
     assert len(out) == 6
     assert out[0]["corner_sum"] == 3 * jpeg_block_value(0, 0, 0)
     assert out[1]["corner_sum"] == 3 * jpeg_block_value(1, 0, 0)
+
+
+def test_gif_lzw_codec_round_trip():
+    """Raw LZW: random bytes (incl. >4096-entry dictionary reset),
+    small alphabets (3-bit codes), and repetitive data (real
+    compression + the cScSc code==next_code case)."""
+    import random
+
+    from opentelemetry_log_collection_spark.multimodal import (
+        lzw_decode, lzw_encode,
+    )
+
+    rng = random.Random(7)
+    big = bytes(rng.randrange(256) for _ in range(30000))
+    assert lzw_decode(lzw_encode(big), 8) == big  # crosses dict reset
+    small = bytes(rng.randrange(4) for _ in range(5000))
+    assert lzw_decode(lzw_encode(small, mcs=2), 2) == small
+    rep = b"abcabcabd" * 800
+    enc = lzw_encode(rep)
+    assert lzw_decode(enc, 8) == rep
+    assert len(enc) < len(rep) // 4  # genuinely compresses
+
+
+def test_gif_decode_real():
+    """Every synthetic GIF decodes bit-for-bit to the closed-form
+    index+palette statistics (the oracle formula)."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_gif, gif_dims, gif_index, gif_palette_rgb, synthesize_gif,
+    )
+
+    for a in (0, 7, 23, 59):
+        d = decode_gif(synthesize_gif(a))
+        w, h = gif_dims(a)
+        assert (d["width"], d["height"], d["n_pixels"]) == (w, h, w * h)
+        sums = [0, 0, 0]
+        for y in range(h):
+            for x in range(w):
+                for c, v in enumerate(gif_palette_rgb(gif_index(a, x, y))):
+                    sums[c] += v
+        assert d["mean_r"] == sums[0] / (w * h)
+        assert d["mean_g"] == sums[1] / (w * h)
+        assert d["mean_b"] == sums[2] / (w * h)
+        assert d["corner_sum"] == sum(gif_palette_rgb(gif_index(a, 0, 0)))
+
+
+def test_gif_decode_rejects_malformed():
+    from opentelemetry_log_collection_spark.multimodal import (
+        decode_gif, synthesize_gif,
+    )
+
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"BM" + b"\x00" * 32)
+    # image descriptor at fixed offset: 13 header + 768 GCT + 8 GCE
+    desc = 13 + 768 + 8
+    blob = bytearray(synthesize_gif(3))
+    assert blob[desc] == 0x2C
+    blob[desc + 9] |= 0x40          # set interlace flag
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_gif(bytes(blob))
+    blob2 = bytearray(synthesize_gif(4))
+    blob2[desc + 9] |= 0x80         # claim a local color table
+    with pytest.raises(ValueError, match="local color"):
+        decode_gif(bytes(blob2))
+    # truncated LZW stream: cut mid-sub-block
+    blob3 = synthesize_gif(5)
+    with pytest.raises((ValueError, IndexError)):
+        decode_gif(blob3[: len(blob3) - 40])
+
+
+def test_image_features_mixed_four_formats(spark):
+    """BMP + PNG + JPEG + GIF in ONE image_features pass, each decoded
+    by its own container semantics via the magic-byte dispatch."""
+    from opentelemetry_log_collection_spark.multimodal import (
+        gif_index, gif_palette_rgb, image_features,
+        synthesize_bmp_assets, synthesize_gif_assets,
+        synthesize_jpeg_assets, synthesize_png_assets,
+    )
+
+    bmp = synthesize_bmp_assets(spark, n=1).withColumn(
+        "asset_id", F.col("asset_id") + 100
+    )
+    png = synthesize_png_assets(spark, n=1).withColumn(
+        "asset_id", F.col("asset_id") + 200
+    )
+    jpg = synthesize_jpeg_assets(spark, n=1).withColumn(
+        "asset_id", F.col("asset_id") + 300
+    )
+    gif = synthesize_gif_assets(spark, n=2)
+    out = {r["asset_id"]: r for r in image_features(
+        bmp.unionByName(png).unionByName(jpg).unionByName(gif)
+    ).collect()}
+    assert len(out) == 5
+    for a in (0, 1):
+        assert out[a]["corner_sum"] == sum(
+            gif_palette_rgb(gif_index(a, 0, 0))
+        )
