@@ -794,6 +794,33 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events table: every click event enriched
+    with the most recent PRIOR error event's value for the same user
+    (point-in-time enrichment; left rows with no prior error keep
+    nulls). ONE shuffle on user_id via the union + null-ignoring
+    window plan — never a per-key cross product. Oracle: DuckDB's
+    native ASOF LEFT JOIN over the identically deduped right side."""
+    from opentelemetry_log_collection_spark import asof
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = asof.asof_join(clicks, errors, on="user_id", ts="ts",
+                         value_cols=("value",))
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        F.unix_micros(F.col("r_ts").cast("timestamp_ltz")).alias("r_ts_us"),
+        F.col("r_value").cast("double").alias("r_value"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family composite quality gate over documents: every doc
     labeled keep/fail with the pipe-joined rule names it tripped.
@@ -1614,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "jaccard_pairs": q_jaccard_pairs,
         "redact_pii": q_redact_pii,
+        "asof_enrich": q_asof_enrich,
         "sessionize": q_sessionize,
         "windowed_rates": q_windowed_rates,
         "minhash_pairs": q_minhash_pairs,
@@ -2079,6 +2107,22 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE i.inter_cnt * 4 >= (na.n + nb.n - i.inter_cnt)"""
+
+    # as-of enrichment: DuckDB's native ASOF LEFT JOIN is the oracle
+    # for the union + null-ignoring-window Spark plan; the right side
+    # is deduped per (user, ts) in both engines so "most recent" is
+    # well-defined
+    sqls["asof_enrich"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), errors AS (
+  SELECT user_id, ts, max(value) AS value
+  FROM events WHERE event_type = 'error' GROUP BY 1, 2
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(e.ts) AS r_ts_us, e.value AS r_value
+FROM clicks c ASOF LEFT JOIN errors e
+  ON c.user_id = e.user_id AND e.ts <= c.ts"""
 
     # PII redaction over transcript turns: same rule chain, counts on
     # the ORIGINAL text (RE2 'g' = Java replace-all; patterns are in

@@ -1,0 +1,55 @@
+"""As-of join semantics (small literal frames)."""
+
+from __future__ import annotations
+
+from opentelemetry_log_collection_spark.asof import asof_join
+
+
+def _ts(spark, rows, cols):
+    df = spark.createDataFrame(rows, cols)
+    return df.withColumn("ts", df["ts"].cast("timestamp"))
+
+
+def test_asof_backward_and_ties(spark):
+    left = _ts(spark, [
+        (1, "u", "2024-01-01 00:00:05"),
+        (2, "u", "2024-01-01 00:00:10"),   # ts EQUAL to a right row
+        (3, "u", "2024-01-01 00:00:02"),   # before any right row
+        (4, "v", "2024-01-01 00:00:30"),   # other key
+    ], ["event_id", "user", "ts"])
+    right = _ts(spark, [
+        ("u", "2024-01-01 00:00:03", 1.5),
+        ("u", "2024-01-01 00:00:10", 2.5),  # equal-ts: <= must match
+        ("u", "2024-01-01 00:00:20", 9.9),  # future: never matches
+        ("v", "2024-01-01 00:00:01", 7.0),
+    ], ["user", "ts", "value"])
+    out = {r["event_id"]: r for r in asof_join(
+        left, right, on="user", ts="ts", value_cols=("value",)
+    ).collect()}
+    assert out[1]["r_value"] == 1.5
+    assert out[2]["r_value"] == 2.5          # <= semantics at the tie
+    assert out[3]["r_value"] is None         # no prior right row
+    assert out[3]["r_ts"] is None
+    assert out[4]["r_value"] == 7.0
+    assert len(out) == 4                     # left rows never dropped
+
+
+def test_asof_dedup_right_keeps_max(spark):
+    left = _ts(spark, [(1, "u", "2024-01-01 00:00:09")],
+               ["event_id", "user", "ts"])
+    right = _ts(spark, [
+        ("u", "2024-01-01 00:00:07", 1.0),
+        ("u", "2024-01-01 00:00:07", 4.0),   # duplicate (key, ts)
+    ], ["user", "ts", "value"])
+    out = asof_join(left, right, on="user", ts="ts",
+                    value_cols=("value",)).collect()
+    assert out[0]["r_value"] == 4.0          # deterministic: max wins
+
+
+def test_asof_multiple_value_cols_defaulted(spark):
+    left = _ts(spark, [(1, "u", "2024-01-01 00:01:00")],
+               ["event_id", "user", "ts"])
+    right = _ts(spark, [("u", "2024-01-01 00:00:59", 3.5, "deploy")],
+                ["user", "ts", "value", "tag"])
+    row = asof_join(left, right, on="user", ts="ts").collect()[0]
+    assert row["r_value"] == 3.5 and row["r_tag"] == "deploy"
