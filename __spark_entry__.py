@@ -821,6 +821,38 @@ def q_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed range join over the events table: every click event
+    paired with every same-user error "incident window" [err_ts,
+    err_ts + 30 min) containing it. The plan is a pure equi-join on
+    (user_id, time-bucket) with the exact range as a residual — never
+    a per-key cross product. Oracle: the plain inequality join in
+    DuckDB (IEJoin)."""
+    from opentelemetry_log_collection_spark import asof
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    incidents = events.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ts_start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("ts_end"),
+        F.col("value").alias("iv_value"),
+    )
+    out = asof.interval_join(clicks, incidents, on="user_id",
+                             bucket_s=1800)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp_ltz")).alias("ts_us"),
+        F.unix_micros(F.col("ts_start").cast("timestamp_ltz")).alias(
+            "iv_start_us"
+        ),
+        F.col("iv_value").cast("double").alias("iv_value"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family composite quality gate over documents: every doc
     labeled keep/fail with the pipe-joined rule names it tripped.
@@ -1642,6 +1674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "redact_pii": q_redact_pii,
         "asof_enrich": q_asof_enrich,
+        "range_join": q_range_join,
         "sessionize": q_sessionize,
         "windowed_rates": q_windowed_rates,
         "minhash_pairs": q_minhash_pairs,
@@ -2123,6 +2156,23 @@ SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
        epoch_us(e.ts) AS r_ts_us, e.value AS r_value
 FROM clicks c ASOF LEFT JOIN errors e
   ON c.user_id = e.user_id AND e.ts <= c.ts"""
+
+    # range join: DuckDB executes the inequality join directly
+    # (IEJoin); Spark runs the bucketed equi-join plan — identical
+    # (point, interval) pair sets
+    sqls["range_join"] = """
+WITH clicks AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+), incidents AS (
+  SELECT user_id, ts AS ts_start, ts + INTERVAL 30 MINUTE AS ts_end,
+         value AS iv_value
+  FROM events WHERE event_type = 'error'
+)
+SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
+       epoch_us(i.ts_start) AS iv_start_us, i.iv_value
+FROM clicks c JOIN incidents i
+  ON c.user_id = i.user_id
+ AND c.ts >= i.ts_start AND c.ts < i.ts_end"""
 
     # PII redaction over transcript turns: same rule chain, counts on
     # the ORIGINAL text (RE2 'g' = Java replace-all; patterns are in

@@ -156,6 +156,7 @@ def main() -> None:
         "windowed_rates",
         "jaccard_pairs",
         "redact_pii",
+        "asof_enrich",
     ]
     qmap = E.queries()
     for name in bench_queries:

@@ -1,4 +1,6 @@
-"""As-of (backward temporal) join — attach to every left row the most
+"""Temporal joins: as-of (backward) join and bucketed range join.
+
+As-of join — attach to every left row the most
 recent right row with ``r.ts <= l.ts`` per key. The classic point-in-
 time enrichment (quotes->trades, config->events, deploy->errors) that
 Spark has no built-in operator for; the reference has no joins at all
@@ -99,4 +101,63 @@ def asof_join(
         *[F.col(f"_l_{c}").alias(c) for c in left_cols],
         F.col(f"_m.{prefix}{ts}").alias(f"{prefix}{ts}"),
         *[F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in value_cols],
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    ts: str = "ts",
+    start: str = "ts_start",
+    end: str = "ts_end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Range join: one output row per (point, interval) pair with the
+    same ``on`` key and ``start <= point.ts < end`` (end-exclusive).
+    Points matching no interval are dropped (inner semantics);
+    overlapping intervals each produce a row.
+
+    Spark-first shape — the bucketed range join (what a plain
+    ``p.join(i, (key) & (ts >= start) & (ts < end))`` is NOT: Catalyst
+    executes that as an equi-join on the key with the range as a
+    post-filter, so one hot key's |P_k| x |I_k| pairs materialize
+    before filtering): time is cut into fixed ``bucket_s`` buckets,
+    each interval explodes to the buckets it covers (pipeline-local),
+    each point maps to exactly ONE bucket, and the join runs as a pure
+    equi-join on (key, bucket) with the exact range as a residual.
+    Because a point lives in a single bucket, every true pair appears
+    exactly once — no dedup pass. Per-bucket work is |P_b| x |I_b|,
+    bounded by the bucket width instead of the key's full history.
+
+    Pick ``bucket_s`` near the typical interval length: shorter
+    buckets shrink join fan-in but replicate long intervals across
+    more buckets (an interval spanning B buckets ships B rows of its
+    (key, start, end, payload) — payloads never duplicate per point).
+    Degenerate intervals (end <= start) match nothing and emit no
+    bucket rows."""
+    w_us = int(bucket_s) * 1_000_000
+
+    def us(col: str):
+        return F.unix_micros(F.col(col).cast("timestamp_ltz"))
+
+    pts = points.withColumn("_b", F.floor(us(ts) / w_us))
+    ivs = (
+        intervals.withColumn(
+            "_bs",
+            F.when(
+                us(end) > us(start),
+                F.sequence(
+                    F.floor(us(start) / w_us),
+                    F.floor((us(end) - 1) / w_us),
+                ),
+            ),
+        )
+        .withColumn("_b", F.explode("_bs"))
+        .drop("_bs")
+    )
+    return (
+        pts.join(ivs, [on, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end)))
+        .drop("_b")
     )

@@ -53,3 +53,44 @@ def test_asof_multiple_value_cols_defaulted(spark):
                 ["user", "ts", "value", "tag"])
     row = asof_join(left, right, on="user", ts="ts").collect()[0]
     assert row["r_value"] == 3.5 and row["r_tag"] == "deploy"
+
+
+def test_interval_join_boundaries_and_buckets(spark):
+    from opentelemetry_log_collection_spark.asof import interval_join
+
+    pts = _ts(spark, [
+        (1, "u", "2024-01-01 00:10:00"),   # inside
+        (2, "u", "2024-01-01 00:00:00"),   # == start: inclusive
+        (3, "u", "2024-01-01 01:00:00"),   # == end: exclusive
+        (4, "u", "2024-01-01 03:59:00"),   # inside an interval that
+                                           # STRADDLES a bucket edge,
+                                           # point in a LATER bucket
+        (5, "w", "2024-01-01 00:10:00"),   # other key: no match
+    ], ["event_id", "user", "ts"])
+    ivs = spark.createDataFrame([
+        ("u", "2024-01-01 00:00:00", "2024-01-01 01:00:00", "a"),
+        ("u", "2024-01-01 03:30:00", "2024-01-01 04:30:00", "b"),
+        ("u", "2024-01-01 02:00:00", "2024-01-01 02:00:00", "z"),  # empty
+    ], ["user", "ts_start", "ts_end", "tag"])
+    for c in ("ts_start", "ts_end"):
+        ivs = ivs.withColumn(c, ivs[c].cast("timestamp"))
+    out = sorted((r["event_id"], r["tag"]) for r in interval_join(
+        pts, ivs, on="user", bucket_s=3600).collect())
+    assert out == [(1, "a"), (2, "a"), (4, "b")]
+
+
+def test_interval_join_overlaps_each_produce_a_row(spark):
+    from opentelemetry_log_collection_spark.asof import interval_join
+
+    pts = _ts(spark, [(1, "u", "2024-01-01 00:30:00")],
+              ["event_id", "user", "ts"])
+    ivs = spark.createDataFrame([
+        ("u", "2024-01-01 00:00:00", "2024-01-01 01:00:00", "x"),
+        ("u", "2024-01-01 00:15:00", "2024-01-01 00:45:00", "y"),
+    ], ["user", "ts_start", "ts_end", "tag"])
+    for c in ("ts_start", "ts_end"):
+        ivs = ivs.withColumn(c, ivs[c].cast("timestamp"))
+    # tiny bucket (60s): interval x spans 60 buckets, match still unique
+    out = sorted(r["tag"] for r in interval_join(
+        pts, ivs, on="user", bucket_s=60).collect())
+    assert out == ["x", "y"]
