@@ -853,6 +853,27 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_topk_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k over events: the 5 highest-value events per
+    event_type, deterministic tie-break on event_id. Catalyst plans
+    the row_number filter as WindowGroupLimit (partial below the
+    exchange), so map tasks forward at most k rows per group. Oracle:
+    the same window in SQL (DuckDB uses identical semantics)."""
+    from opentelemetry_log_collection_spark import sessions
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sessions.top_k_per_group(
+        events, key_col="event_type", order_col="value",
+        tie_col="event_id", k=5,
+    )
+    return out.select(
+        F.col("event_type"),
+        F.col("rk").cast("long").alias("rk"),
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family composite quality gate over documents: every doc
     labeled keep/fail with the pipe-joined rule names it tripped.
@@ -1675,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "asof_enrich": q_asof_enrich,
         "range_join": q_range_join,
+        "topk_groups": q_topk_groups,
         "sessionize": q_sessionize,
         "windowed_rates": q_windowed_rates,
         "minhash_pairs": q_minhash_pairs,
@@ -2173,6 +2195,16 @@ SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us,
 FROM clicks c JOIN incidents i
   ON c.user_id = i.user_id
  AND c.ts >= i.ts_start AND c.ts < i.ts_end"""
+
+    # per-group top-k: identical row_number window in both engines
+    sqls["topk_groups"] = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rk
+  FROM events
+)
+SELECT event_type, rk, event_id, value FROM r WHERE rk <= 5"""
 
     # PII redaction over transcript turns: same rule chain, counts on
     # the ORIGINAL text (RE2 'g' = Java replace-all; patterns are in

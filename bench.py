@@ -157,6 +157,7 @@ def main() -> None:
         "jaccard_pairs",
         "redact_pii",
         "asof_enrich",
+        "range_join",
     ]
     qmap = E.queries()
     for name in bench_queries:

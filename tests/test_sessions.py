@@ -77,3 +77,19 @@ def test_windowed_rates_buckets_epoch_aligned(spark):
     assert out[(h0, "click")]["value_sum"] == 5.0
     assert out[(h0 + 3600_000_000, "click")]["n_events"] == 1
     assert out[(h0, "view")]["n_events"] == 1
+
+
+def test_top_k_per_group_ties_and_limit(spark):
+    from opentelemetry_log_collection_spark.sessions import top_k_per_group
+
+    df = spark.createDataFrame(
+        [("a", 1, 5.0), ("a", 2, 5.0), ("a", 3, 9.0), ("a", 4, 1.0),
+         ("b", 5, 2.0)],
+        ["grp", "id", "v"],
+    )
+    out = [(r["grp"], r["rk"], r["id"]) for r in top_k_per_group(
+        df, key_col="grp", order_col="v", tie_col="id", k=2
+    ).orderBy("grp", "rk").collect()]
+    # value desc, tie broken by id asc: 9.0 first, then the 5.0 with
+    # the smaller id; row 4 cut by k=2; group b keeps its only row
+    assert out == [("a", 1, 3), ("a", 2, 1), ("b", 1, 5)]
