@@ -358,15 +358,19 @@ def lsh_candidate_pairs(
     (~n^2/2^65 for n (doc,band) rows — vanishing, and any spurious
     candidate still gets exact-Jaccard verified downstream)."""
     n_bands = seeds // band_size
-    bands = []
-    for b in range(n_bands):
-        key = F.xxhash64(
-            F.lit(b), *[F.col(f"mh{b * band_size + r}") for r in range(band_size)]
-        )
-        bands.append(sig.select(F.col("doc_id"), key.alias("band_key")))
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+    # ALL band keys in ONE projection + explode — a per-band
+    # select+union would re-derive the signature aggregation once per
+    # band (16 recomputes at the production config)
+    keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"mh{b * band_size + r}") for r in range(band_size)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sig.select(F.col("doc_id"), F.explode(keys).alias("band_key"))
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -387,7 +391,15 @@ def jaccard_verify(
     """Exact n-gram Jaccard on candidate pairs. Counts are exact ints
     (inter_cnt/union_cnt) so downstream thresholds are reproducible
     bit-for-bit; similarity = inter/union when a ratio is wanted."""
-    sh = shingles(df, text_col).distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # the distinct shingle index feeds THREE branches (sizes + both
+    # intersection sides) — persist so the corpus is shingled once
+    sh = (
+        shingles(df, text_col)
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # |A ∩ B|: equi-join on BOTH (doc, shingle) so the shingle value is
     # part of the hash-join key — never a per-pair cross product
@@ -422,8 +434,14 @@ def minhash_near_dups(
     band_size: int = BAND_SIZE,
     hash_fn: str = MINHASH_HASH,
 ) -> DataFrame:
-    """The full shingle->minhash->band->bucket-join->verify plan."""
-    sig = minhash_signature(df, text_col, seeds, hash_fn)
+    """The full shingle->minhash->band->bucket-join->verify plan.
+    The signature frame feeds both self-join sides of the band
+    bucket-join, so it is persisted (signatures-built-once)."""
+    from pyspark.storagelevel import StorageLevel
+
+    sig = minhash_signature(df, text_col, seeds, hash_fn).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = lsh_candidate_pairs(sig, seeds, band_size)
     return jaccard_verify(pairs, df, text_col)
 
@@ -519,10 +537,19 @@ def simhash_near_dups(
     candidates (~17 bytes x n_bands per doc); text never moves; the
     ``max_bucket_size`` guard drops degenerate buckets (e.g. the
     all-zero signature of empty docs) that would make the self-join
-    quadratic, trading recall only on those pathological clusters."""
+    quadratic, trading recall only on those pathological clusters.
+
+    The signature frame feeds FOUR plan branches (the band explode,
+    its bucket-size guard, and both verify sides); without
+    materialization Catalyst recomputes the tokenize+explode+64-sum
+    aggregation per branch (measured ~4x the signature wall at
+    sf0.1), so it is persisted — the build-the-signatures-once
+    discipline a production run uses when it writes them to a table."""
     if not 0 <= max_hamming <= 15:
         raise ValueError("max_hamming must be in [0, 15]")
-    sig = simhash64(df, text_col)
+    from pyspark.storagelevel import StorageLevel
+
+    sig = simhash64(df, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = max_hamming + 1
     widths = [16 // n_bands + (1 if i < 16 % n_bands else 0) for i in range(n_bands)]
     starts = [1 + sum(widths[:i]) for i in range(n_bands)]
