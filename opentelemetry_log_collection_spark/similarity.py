@@ -154,34 +154,44 @@ def lsh_topk(
     Missing neighbors (hash misses) are the accepted approximation;
     recall is tunable via n_planes/n_tables (measured in
     tests/test_training_ops.py::test_lsh_recall_vs_brute_force)."""
+    from pyspark.storagelevel import StorageLevel
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
     )
+    # the corpus vector frame feeds the bucket projection AND the
+    # final re-attach; persist so the scan+cast runs once
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ALL tables' buckets in ONE projection + explode — a per-table
+    # select+union would recompute the vector frame (and its
+    # n_planes dot products) once per table
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+
+    def all_buckets(vec: Column) -> Column:
+        return F.posexplode(
+            F.array(*[bucket_col(vec, planes) for planes in tables])
+        )
+
+    qb = q.select("query_id", all_buckets(F.col("qv")).alias("tbl", "bucket"))
+    cb = c.select(
+        "neighbor_id", all_buckets(F.col("cv")).alias("tbl", "bucket")
     )
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        qb = q.select(
-            "query_id", bucket_col(F.col("qv"), planes).alias("bucket")
+    if max_bucket_size is not None:
+        sizes = cb.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        cb = cb.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            ["tbl", "bucket"],
         )
-        cb = c.select(
-            "neighbor_id", bucket_col(F.col("cv"), planes).alias("bucket")
-        )
-        if max_bucket_size is not None:
-            sizes = cb.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-            cb = cb.join(
-                sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-                "bucket",
-            )
-        # queries are the small side — broadcast them into the bucket
-        # probe so the corpus side never shuffles here
-        pairs = cb.join(F.broadcast(qb), "bucket").select(
-            "query_id", "neighbor_id"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.filter(F.col("query_id") != F.col("neighbor_id")).distinct()
+    # queries are the small side — broadcast them into the bucket
+    # probe so the corpus side never shuffles here
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .select("query_id", "neighbor_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .distinct()
+    )
     # re-attach vectors AFTER dedup: corpus shuffles once by id
     scored = (
         cand.join(c, "neighbor_id")
@@ -303,26 +313,37 @@ def embedding_near_dups(
     (one dense hash bucket) would make the self-join quadratic, so
     mega-buckets are dropped, trading recall only on degenerate
     regions."""
-    v = df.select(F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv"))
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        b = v.select("vid", bucket_col(F.col("vv"), planes).alias("bucket"))
-        if max_bucket_size is not None:
-            sizes = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("_n"))
-            b = b.join(
-                sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-                "bucket",
-            )
-        left = b.select(F.col("vid").alias("doc_a"), "bucket")
-        right = b.select(F.col("vid").alias("doc_b"), "bucket")
-        pairs = (
-            left.join(right, "bucket")
-            .filter(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
+    from pyspark.storagelevel import StorageLevel
+
+    # the vector frame feeds the bucket projection (both self-join
+    # sides + the size guard) and both verify-side re-attaches —
+    # persist so the scan+cast runs once
+    v = df.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # ALL tables' buckets in ONE projection + explode (same
+    # build-once discipline as lsh_topk / lsh_candidate_pairs)
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    b = v.select(
+        "vid",
+        F.posexplode(
+            F.array(*[bucket_col(F.col("vv"), planes) for planes in tables])
+        ).alias("tbl", "bucket"),
+    )
+    if max_bucket_size is not None:
+        sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
+        b = b.join(
+            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
+            ["tbl", "bucket"],
         )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.distinct()
+    left = b.select(F.col("vid").alias("doc_a"), "tbl", "bucket")
+    right = b.select(F.col("vid").alias("doc_b"), "tbl", "bucket")
+    cand = (
+        left.join(right, ["tbl", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
     va = v.select(F.col("vid").alias("doc_a"), F.col("vv").alias("va"))
     vb = v.select(F.col("vid").alias("doc_b"), F.col("vv").alias("vb"))
     return (
