@@ -17,7 +17,13 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# `python jobs/run_pipeline.py` puts jobs/ (not the repo root) on
+# sys.path; spark-submit --py-files ships the package instead — make
+# the direct invocation work without an install either way
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
