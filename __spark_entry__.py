@@ -917,6 +917,18 @@ def q_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical text normalization over transcript turns (control
+    strip -> whitespace collapse -> trim -> ASCII lowercase) with an
+    exact changed flag — zero-shuffle codegen; the oracle runs the
+    identical RE2-subset rule chain."""
+    t = materialized_transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "text"
+    )
+    out = textops.normalize_text(t)
+    return out.select("conv_id", "turn_idx", "norm_text", "changed")
+
+
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with exact n-gram Jaccard
     verification (shingle->minhash->band->bucket-join). Pinned at the
@@ -1694,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_filter": q_quality_filter,
         "jaccard_pairs": q_jaccard_pairs,
         "redact_pii": q_redact_pii,
+        "normalize_text": q_normalize_text,
         "asof_enrich": q_asof_enrich,
         "range_join": q_range_join,
         "topk_groups": q_topk_groups,
@@ -2162,6 +2175,18 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE i.inter_cnt * 4 >= (na.n + nb.n - i.inter_cnt)"""
+
+    # text normalization: identical RE2-subset rule chain; lower() is
+    # ASCII-only on this corpus so both engines agree byte-for-byte
+    sqls["normalize_text"] = ORACLE_CTE + r"""
+SELECT conv_id, turn_idx,
+  lower(trim(regexp_replace(
+    regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+    '\s+', ' ', 'g'))) AS norm_text,
+  lower(trim(regexp_replace(
+    regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g'),
+    '\s+', ' ', 'g'))) <> text AS changed
+FROM transcripts"""
 
     # as-of enrichment: DuckDB's native ASOF LEFT JOIN is the oracle
     # for the union + null-ignoring-window Spark plan; the right side

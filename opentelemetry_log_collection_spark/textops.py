@@ -68,6 +68,37 @@ def quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """Canonical text normalization — the stage every corpus pipeline
+    runs before exact/near dedup so case and whitespace variants
+    collapse to one form: strip ASCII control characters (keep \\t \\n,
+    which then fold into the whitespace collapse), collapse whitespace
+    runs to single spaces, trim, optionally lowercase. Appends
+    ``out_col`` plus ``changed`` (exact audit flag).
+
+    100 TB shape: a regexp_replace chain in whole-stage codegen, zero
+    shuffle. The rules stay in the RE2 ∩ java.util.regex subset, so
+    DuckDB reproduces the output byte-for-byte (the oracle); ASCII-only
+    case folding (``lower`` agrees across engines on ASCII; full
+    Unicode case folding is locale-dependent and deliberately out of
+    scope here)."""
+    t = F.col(text_col)
+    norm = F.regexp_replace(t, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    norm = F.trim(F.regexp_replace(norm, r"\s+", " "))
+    if lowercase:
+        norm = F.lower(norm)
+    return df.select(
+        "*",
+        norm.alias(out_col),
+        (norm != t).alias("changed"),
+    )
+
+
 # --------------------------------------------------------------------
 # PII redaction (training-data scrubbing)
 # --------------------------------------------------------------------

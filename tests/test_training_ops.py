@@ -519,3 +519,24 @@ def test_redact_pii_rules_and_counts(spark):
     assert out[5]["red_text"] == out[5]["text"]
     assert all(out[5][f"n_{k}"] == 0
                for k in ("email", "ipv4", "card", "phone"))
+
+
+def test_normalize_text_rules(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello\t WORLD \n twice  "),
+            (2, "ctrl\x00char\x07here"),
+            (3, "already clean"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in textops.normalize_text(df).collect()}
+    assert out[1]["norm_text"] == "hello world twice"
+    assert out[1]["changed"]
+    assert out[2]["norm_text"] == "ctrlcharhere"
+    assert out[3]["norm_text"] == "already clean"
+    assert not out[3]["changed"]
+    # case preserved when lowercase=False
+    keep = {r["doc_id"]: r for r in textops.normalize_text(
+        df, lowercase=False).collect()}
+    assert keep[1]["norm_text"] == "Hello WORLD twice"
