@@ -158,6 +158,8 @@ def main() -> None:
         "redact_pii",
         "asof_enrich",
         "range_join",
+        "topk_groups",
+        "normalize_text",
     ]
     qmap = E.queries()
     for name in bench_queries:
