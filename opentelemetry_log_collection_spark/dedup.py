@@ -179,9 +179,11 @@ def connected_components(
     ``doc_id == cluster_id`` — the step between "we found dup pairs"
     and "we dropped the dups" that every corpus-dedup pipeline needs.
 
-    Algorithm: iterative min-label propagation over the symmetrized
-    edge list — label(v) = min(label(v), min over neighbors) until a
-    fixpoint, i.e. O(component diameter) rounds of join + partial-agg
+    Algorithm: iterative min-label propagation with pointer doubling
+    over the symmetrized edge list — each round takes label(v) =
+    min over neighbors' labels, then dereferences label(label(v))
+    (shortcutting), so a node's horizon doubles per round and a
+    fixpoint arrives in O(log diameter) rounds of join + partial-agg
     groupBy. Near-dup components are LSH-bucket cliques overlapping on
     shared docs, so diameters are small (single digits); each round
     shuffles only (node, label) BIGINT pairs, never text. Lineage is
@@ -205,12 +207,28 @@ def connected_components(
     )
     for _ in range(max_iter):
         # min over incoming neighbor labels, then min with own label
-        prop = (
+        hop = (
             labels.join(e, labels["node"] == e["a"])
             .select(F.col("b").alias("node"), "lbl")
             .union(labels)
             .groupBy("node")
             .agg(F.min("lbl").alias("lbl"))
+        )
+        # pointer doubling (shortcutting): label <- label(label).
+        # Every lbl value is itself a node id (labels start as ids and
+        # only mins of ids propagate), so one self-join dereferences
+        # it; label(u) <= u makes the dereferenced value the new min.
+        # Rounds needed drop from O(diameter) to O(log diameter) —
+        # each round a node sees 2 hops further instead of 1.
+        deref = hop.select(
+            F.col("node").alias("lbl"), F.col("lbl").alias("_lbl2")
+        )
+        prop = (
+            hop.join(deref, "lbl", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_lbl2"), F.col("lbl")).alias("lbl"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (
