@@ -59,16 +59,11 @@ def asof_join(
     value_cols = tuple(value_cols) or tuple(
         c for c in right.columns if c not in (on, ts)
     )
-    r = right
-    if dedup_right:
-        r = r.groupBy(on, ts).agg(
-            *[F.max(c).alias(c) for c in value_cols]
-        )
     payload = F.struct(
         F.col(ts).alias(f"{prefix}{ts}"),
         *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
     )
-    r2 = r.select(
+    r2 = right.select(
         F.col(on),
         F.col(ts),
         F.lit(0).alias("_side"),
@@ -89,9 +84,17 @@ def asof_join(
             for c in left_cols
         ],
     ).unionByName(l2)
+    # dedup_right needs no extra exchange: ordering same-(key, ts)
+    # right rows by their payload struct makes last() pick the
+    # lexicographically greatest one (left rows carry null payloads
+    # and sort after right rows at equal ts via _side, so the tie
+    # order among them is irrelevant)
+    order = [F.col(ts), F.col("_side")] + (
+        [F.col("_rv")] if dedup_right else []
+    )
     w = (
         Window.partitionBy(on)
-        .orderBy(ts, "_side")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = merged.withColumn(
