@@ -171,6 +171,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Duplicate-cluster resolution: near-dup PAIRS (the output of
     minhash_near_dups / simhash_near_dups / embedding_near_dups) ->
@@ -186,25 +187,59 @@ def connected_components(
     fixpoint arrives in O(log diameter) rounds of join + partial-agg
     groupBy. Near-dup components are LSH-bucket cliques overlapping on
     shared docs, so diameters are small (single digits); each round
-    shuffles only (node, label) BIGINT pairs, never text. Lineage is
-    cut with localCheckpoint each round (an executor-local
-    materialization, no lineage replay at iteration k reaching back to
-    iteration 0 — the classic iterative-DataFrame trap); convergence
-    is detected by the count of labels that changed in the round (one
-    driver-side scalar per round, same discipline as GraphX/GraphFrames'
-    AggregateMessages loop). Raises if max_iter rounds don't converge
+    shuffles only (node, label) BIGINT pairs, never text.
+
+    Per-round cost discipline (each avoided job is a full scheduling
+    round-trip, and at cluster scale a shuffle):
+      - the symmetrized edge list feeds every round's join, so it is
+        persisted once — without that, Catalyst re-derives the
+        union+distinct (and the upstream pair-finding plan!) once per
+        round;
+      - lineage is cut with a LAZY localCheckpoint whose
+        materialization rides the SAME action that checks
+        convergence, so each round runs exactly ONE job;
+      - convergence is detected by the per-round SUM of labels:
+        min-propagation and shortcutting are monotone nonincreasing
+        per node, so the label sum strictly decreases iff any label
+        changed — one scalar per round with no compare-join. The sum
+        is exact (DECIMAL(38,0), no bigint overflow at any id scale).
+    ``checkpoint_dir``: when set, rounds checkpoint RELIABLY
+    (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint``) so
+    an executor loss replays from durable storage — the cluster-run
+    option; the default localCheckpoint is executor-local and right
+    for single-node runs. Raises if max_iter rounds don't converge
     (a pathological chain; raise max_iter for adversarial graphs)."""
+    from pyspark.storagelevel import StorageLevel
+
     e = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    labels = (
+
+    if checkpoint_dir is not None:
+        e.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _cut(df: DataFrame) -> DataFrame:
+        # reliable checkpoint is eager by default (a separate job);
+        # localCheckpoint stays lazy so the convergence action below
+        # materializes it — one job per round
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=False)
+
+    def _sum(df: DataFrame) -> object:
+        return df.agg(
+            F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+
+    labels = _cut(
         e.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .localCheckpoint(eager=True)
     )
+    prev_sum = _sum(labels)
     for _ in range(max_iter):
         # min over incoming neighbor labels, then min with own label
         hop = (
@@ -223,22 +258,18 @@ def connected_components(
         deref = hop.select(
             F.col("node").alias("lbl"), F.col("lbl").alias("_lbl2")
         )
-        prop = (
+        prop = _cut(
             hop.join(deref, "lbl", "left")
             .select(
                 "node",
                 F.coalesce(F.col("_lbl2"), F.col("lbl")).alias("lbl"),
             )
-            .localCheckpoint(eager=True)
         )
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = prop
-        if changed == 0:
+        cur_sum = _sum(prop)  # materializes the checkpoint too
+        changed = cur_sum != prev_sum
+        labels, prev_sum = prop, cur_sum
+        if not changed:
+            e.unpersist()
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
@@ -518,25 +549,37 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     Scale shape: the 64 per-bit vote sums are 64 column aggregates in
     ONE groupBy(doc_id) — the only exchange, shuffling (doc_id, 64
     longs) with map-side partial aggregation. The bit extraction runs
-    as 64 plan-time-constant expressions over the per-token digest
-    (no tokens x 64 row explosion: the previous formulation shuffled
-    64x the token count into a groupBy(doc_id, bit))."""
+    as 64 plan-time-constant INTEGER expressions over two 32-bit
+    halves of the digest (conv the first/second 8 hex chars once per
+    token, then shift+mask per bit) — bit b of the converted half IS
+    bit (3 - b%4) of hex nibble b//4, so the votes are identical to
+    the per-nibble string form, at a fraction of the cost: the old
+    instr/substr-per-bit form ran 64 string scans per token (measured
+    ~2x the whole query wall at 10x bench scale). (No tokens x 64 row
+    explosion either: an earlier formulation shuffled 64x the token
+    count into a groupBy(doc_id, bit).)"""
     w = words_col(F.col(text_col))
     tokens = (
         df.select("doc_id", F.explode(w).alias("word"))
         .withColumn("h", F.md5(F.col("word")))
+        # two integer halves of the first 16 nibbles, converted once
+        .withColumn("x1", F.expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
+        .withColumn("x2", F.expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)"))
     )
-    # vote_b = bit b of the digest's nibble b//4, mapped 0/1 -> -1/+1;
-    # b is a plan-time constant so each vote is pure codegen arithmetic
-    votes = [
-        F.expr(
-            f"cast((instr('{_HEX}', substr(h, {b // 4 + 1}, 1)) - 1) "
-            f"div {[8, 4, 2, 1][b % 4]} as int) % 2 * 2 - 1"
+    # vote_b = bit b of the digest's nibble b//4, mapped 0/1 -> -1/+1.
+    # Within half x (8 big-endian nibbles), nibble j sits at bits
+    # (7-j)*4..(7-j)*4+3, and the weight-[8,4,2,1][b%4] bit of the
+    # nibble is its bit 3-(b%4) — pure codegen shift/mask arithmetic.
+    def _vote(b: int) -> Column:
+        half = "x1" if b < 32 else "x2"
+        j = (b // 4) % 8
+        pos = (7 - j) * 4 + (3 - b % 4)
+        return (
+            F.shiftright(F.col(half), pos).bitwiseAND(F.lit(1)) * 2 - 1
         ).alias(f"v{b}")
-        for b in range(64)
-    ]
+
     sums = (
-        tokens.select("doc_id", *votes)
+        tokens.select("doc_id", *[_vote(b) for b in range(64)])
         .groupBy("doc_id")
         .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
     )
@@ -589,18 +632,25 @@ def simhash_near_dups(
     per side) and computes exact hamming with codegen nibble algebra
     (hamming64_expr).
 
-    100 TB shape: only (doc_id, band_idx, band_value) rows shuffle for
-    candidates (~17 bytes x n_bands per doc); text never moves; the
+    100 TB shape: the band rows carry the 16-char signature (8 bytes
+    of payload), so the bucketed self-join computes the exact hamming
+    IN the collision stage and applies the threshold there — the
+    candidate stream never crosses an exchange, and the only dedup is
+    a ``distinct`` over the (tiny) within-threshold result (a pair
+    colliding on several bands yields identical hamming values, so
+    the distinct collapses them exactly). Text never moves; the
     ``max_bucket_size`` guard drops degenerate buckets (e.g. the
-    all-zero signature of empty docs) that would make the self-join
-    quadratic, trading recall only on those pathological clusters.
+    all-zero signature of empty docs) — via a broadcast ANTI join
+    against the (usually empty) oversized set — that would make the
+    self-join quadratic, trading recall only on those pathological
+    clusters.
 
-    The signature frame feeds FOUR plan branches (the band explode,
-    its bucket-size guard, and both verify sides); without
-    materialization Catalyst recomputes the tokenize+explode+64-sum
-    aggregation per branch (measured ~4x the signature wall at
-    sf0.1), so it is persisted — the build-the-signatures-once
-    discipline a production run uses when it writes them to a table."""
+    The signature frame feeds THREE plan branches (the guard census
+    and both join sides); without materialization Catalyst recomputes
+    the tokenize+explode+64-sum aggregation per branch (measured ~4x
+    the signature wall at sf0.1), so it is persisted — the
+    build-the-signatures-once discipline a production run uses when
+    it writes them to a table."""
     if not 0 <= max_hamming <= 15:
         raise ValueError("max_hamming must be in [0, 15]")
     from pyspark.storagelevel import StorageLevel
@@ -611,6 +661,7 @@ def simhash_near_dups(
     starts = [1 + sum(widths[:i]) for i in range(n_bands)]
     bands = sig.select(
         "doc_id",
+        "simhash",
         F.posexplode(
             F.array(
                 *[
@@ -621,26 +672,25 @@ def simhash_near_dups(
         ).alias("band", "band_val"),
     )
     if max_bucket_size is not None:
-        sizes = bands.groupBy("band", "band_val").agg(
-            F.count(F.lit(1)).alias("_n")
+        big = (
+            bands.groupBy("band", "band_val")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_bucket_size)
+            .drop("_n")
         )
-        bands = bands.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            ["band", "band_val"],
-        )
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "band_val")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "band_val")
-    cand = (
+        bands = bands.join(F.broadcast(big), ["band", "band_val"], "left_anti")
+    left = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"),
+        "band", "band_val",
+    )
+    right = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"),
+        "band", "band_val",
+    )
+    return (
         left.join(right, ["band", "band_val"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select("doc_a", "doc_b", hamming64_expr("sh_a", "sh_b").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -226,18 +226,29 @@ def run_flagship(
     sink name), not N filtered jobs: every row is parsed once and
     scanned once; the writer splits files by sink. N separate writes
     would re-scan the cached frame N times — measured 2x slower at
-    sf0.1, and far worse at cluster scale where the cache spills."""
+    sf0.1, and far worse at cluster scale where the cache spills.
+
+    The per-sink counts ride the SAME write pass as observed metrics
+    (``Observation`` + one count(when(sink=...)) per sink), so the
+    whole flagship is ONE materialization of the parse DAG — the
+    previous persist + write-from-cache + count-from-cache shape paid
+    a full cache write/read of the wide entry rows (measured ~1.5s of
+    the 6.9s warm wall at 10x bench scale, and at cluster scale the
+    cache would spill)."""
     tagged = tagged_frame(spark, sf_dir)
     if out_dir is not None:
-        tagged = tagged.withColumn("sink", route_name_col()).persist()
-        try:
-            write_sinks(spark, tagged, out_dir, fmt)
-            # materialize the (tiny) counts BEFORE unpersist — the
-            # returned frame must not lazily re-run the parse DAG
-            rows = (
-                tagged.groupBy("sink").agg(F.count(F.lit(1)).alias("cnt")).collect()
-            )
-            return spark.createDataFrame(rows, "sink string, cnt long")
-        finally:
-            tagged.unpersist()
+        from pyspark.sql import Observation
+
+        tagged = tagged.withColumn("sink", route_name_col())
+        obs = Observation()
+        tagged = tagged.observe(
+            obs,
+            *[
+                F.count(F.when(F.col("sink") == name, 1)).alias(name)
+                for name in SINK_NAMES
+            ],
+        )
+        write_sinks(spark, tagged, out_dir, fmt)
+        rows = [(name, cnt) for name, cnt in obs.get.items() if cnt > 0]
+        return spark.createDataFrame(rows, "sink string, cnt long")
     return sink_counts(tagged)

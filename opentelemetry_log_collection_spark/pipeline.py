@@ -160,6 +160,15 @@ class Pipeline:
 
     stages: list[Stage]
     _by_id: dict[str, Stage] = field(default_factory=dict)
+    #: frames persisted by run(cache_fanout=True), released by unpersist()
+    _persisted: list[DataFrame] = field(default_factory=list)
+
+    def unpersist(self, blocking: bool = False) -> None:
+        """Release every fan-out cache created by :meth:`run` — call
+        after the terminal actions in long-lived drivers."""
+        for df in self._persisted:
+            df.unpersist(blocking)
+        self._persisted.clear()
 
     @classmethod
     def from_configs(cls, configs: list[dict[str, Any]]) -> "Pipeline":
@@ -242,7 +251,13 @@ class Pipeline:
         operator chain — deep chains otherwise overflow janino's 64 KB
         method limit and silently fall back to interpreted execution.
         Pass False for fully lazy plans (e.g. when the caller persists
-        or checkpoints at its own boundaries)."""
+        or checkpoints at its own boundaries).
+
+        Every frame persisted here is tracked on the Pipeline; call
+        :meth:`unpersist` after the terminal actions so long-lived
+        drivers running many pipelines do not accumulate cached
+        blocks (MEMORY_AND_DISK blocks live until the SparkContext
+        dies otherwise)."""
         from pyspark.storagelevel import StorageLevel
 
         from .operators.router import RouterStage
@@ -275,6 +290,7 @@ class Pipeline:
                 if isinstance(s, RouterStage):
                     if cache_fanout and len(set(self._targets(s))) > 1:
                         cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+                        self._persisted.append(cur)
                     routed = s.route(cur)
                     for target, branch in routed.items():
                         inputs.setdefault(target, []).append(branch)
@@ -283,6 +299,7 @@ class Pipeline:
                     if s.outputs:
                         if cache_fanout and len(set(s.outputs)) > 1:
                             out = out.persist(StorageLevel.MEMORY_AND_DISK)
+                            self._persisted.append(out)
                         for t in s.outputs:
                             inputs.setdefault(t, []).append(out)
                     else:

@@ -44,6 +44,12 @@ def get_spark(
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # one BLAS thread per Python worker: numpy matmuls inside
+        # Arrow UDFs must not oversubscribe the cores Spark already
+        # saturates with one worker per slot
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         # throughput GC: G1's pause-target pacing collapses under 32

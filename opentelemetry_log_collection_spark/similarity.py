@@ -4,20 +4,36 @@ Two plans, per the standard ANN playbook:
 
   - brute_force_topk: the exactness baseline. The (small) query set
     broadcasts; scoring is a map-side nested loop with the cosine
-    computed by builtin higher-order functions (zip_with + aggregate,
-    left-fold => deterministic summation order), then ONE window
-    per-query top-k. Cost: |corpus| x |queries| partial products, no
-    corpus shuffle — right up to a few thousand queries.
+    computed by builtin expressions (left-to-right fold =>
+    deterministic summation order), then ONE window per-query top-k.
+    Cost: |corpus| x |queries| partial products, no corpus shuffle —
+    right up to a few thousand queries.
 
   - lsh_topk: the scale path. Random-hyperplane (sign) LSH buckets
-    both sides; candidates = bucket collisions (shuffle of (bucket,
-    id) pairs only); exact cosine re-rank within candidates. Recall
-    is tunable via n_planes/n_tables. Hyperplanes are derived
-    deterministically from a seed (md5 stream), never RNG state.
+    both sides; candidates = bucket collisions (the corpus bucket
+    rows carry their vector, so scoring is map-side in the collision
+    stage); exact cosine re-rank within candidates. Recall is tunable
+    via n_planes/n_tables. Hyperplanes are derived deterministically
+    from a seed (md5 stream), never RNG state.
 
 All math is done in DOUBLE after an explicit cast from float32 —
 identical left-to-right IEEE ops in any engine, so oracle checks can
 reproduce scores bit-for-bit.
+
+Expression notes (measured at 10x bench scale, BENCH.md r6):
+  - per-vector norms are computed once per ROW, never once per pair:
+    ``sqrt(dot(v,v))`` yields the same double either way, so
+    ``dot(a,b)/(na*nb)`` is bit-identical to the naive per-pair
+    ``cosine`` and drops 2 of the 3 fold evaluations per scored pair
+    (brute-force top-k 3.6s -> 1.3s);
+  - the dot stays the zip_with+aggregate HOF form everywhere: an
+    unrolled ``element_at(a,i)*element_at(b,i)`` chain is ~190
+    expression nodes, which join operators evaluate INTERPRETED
+    (BroadcastNestedLoopJoin does not whole-stage-codegen its
+    projections: measured 4.5s vs 1.3s for the same top-k), and a
+    projection holding several unrolled dots (bucket keys, centroid
+    panels) overflows codegen entirely and falls back to interpreted
+    evaluation for every row.
 """
 
 from __future__ import annotations
@@ -36,7 +52,8 @@ def _dvec(c: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Left-fold sum of elementwise products — deterministic order."""
+    """Left-fold sum of elementwise products — deterministic order:
+    ``((0.0 + a1*b1) + a2*b2) + ...``."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -60,20 +77,25 @@ def brute_force_topk(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, sim): exact top-k by cosine.
-    Queries broadcast; ties broken by neighbor_id for determinism."""
+    Queries broadcast; ties broken by neighbor_id for determinism.
+    Norms are computed once per side (same doubles as the per-pair
+    form — see module docstring), so each scored pair costs one
+    fold dot + one divide."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("nc", norm(F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -113,14 +135,34 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
 
 
 def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-bit string over the hyperplanes — the LSH bucket key."""
+    """Sign-bit string over the hyperplanes — the LSH bucket key.
+
+    Deliberately the HOF dot, not the unrolled form: a bucket
+    projection evaluates n_planes x n_tables dots in ONE projection,
+    and unrolling all of them produces a multi-thousand-node
+    expression tree that overflows codegen into interpreted
+    evaluation (measured 2x slower end-to-end). Unrolling only pays
+    when a projection holds a single dot."""
     bits = [
-        F.when(
-            dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1")
-        ).otherwise(F.lit("0"))
+        F.when(dot(vec, F.array(*[F.lit(x) for x in plane])) >= 0, F.lit("1"))
+        .otherwise(F.lit("0"))
         for plane in planes
     ]
     return F.concat(*bits)
+
+
+def _drop_megabuckets(b: DataFrame, max_bucket_size: int) -> DataFrame:
+    """Remove rows landing in over-populated (tbl, bucket) cells via a
+    broadcast ANTI join against the (tiny, usually empty) oversized
+    set — the guard costs one small aggregation, never a join against
+    the full bucket census."""
+    big = (
+        b.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_bucket_size)
+        .drop("_n")
+    )
+    return b.join(F.broadcast(big), ["tbl", "bucket"], "left_anti")
 
 
 def lsh_topk(
@@ -135,38 +177,30 @@ def lsh_topk(
     seed: int = 42,
     max_bucket_size: int | None = 100_000,
 ) -> DataFrame:
-    """Approximate top-k: bucket-join candidates on IDS ONLY, then
-    exact re-rank after re-attaching vectors.
+    """Approximate top-k: score bucket collisions map-side, then ONE
+    dedup of the (tiny) scored candidate set and the per-query rank.
 
     Scale shape (the parts that survive 100 TB):
-      - the per-table bucket join and the cross-table dedup shuffle
-        only (bucket, id) / (query_id, neighbor_id) pairs — embedding
-        vectors NEVER ride a shuffle until candidates are final;
-      - corpus vectors move exactly once, in the final re-attach join
-        keyed on neighbor_id (proportional to candidate count, not
-        n_tables x candidates);
+      - the corpus bucket rows carry their vector, so the per-table
+        collision probe (queries broadcast) computes the exact cosine
+        IN the probe stage — no candidate-id shuffle, no re-attach
+        join; the corpus never shuffles at all here;
+      - a pair colliding in several tables yields bit-identical sims,
+        so the dedup is a ``distinct`` over the scored rows —
+        proportional to candidate count, and AFTER the collision
+        stage's threshold-free projection the scored set is small
+        (queries x mean bucket size x tables);
       - ``max_bucket_size`` drops corpus-side mega-buckets (hash
-        regions so dense they would go quadratic); skipping them costs
-        recall on degenerate near-constant regions only — the standard
-        LSH guardrail. Size ``n_planes`` ~ log2(corpus/target_bucket)
-        so expected bucket size stays bounded.
+        regions so dense they would go quadratic) via a broadcast
+        anti-join against the oversized set; skipping them costs
+        recall on degenerate near-constant regions only — the
+        standard LSH guardrail.
 
     Missing neighbors (hash misses) are the accepted approximation;
     recall is tunable via n_planes/n_tables (measured in
     tests/test_training_ops.py::test_lsh_recall_vs_brute_force)."""
     from pyspark.storagelevel import StorageLevel
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
-    )
-    # the corpus vector frame feeds the bucket projection AND the
-    # final re-attach; persist so the scan+cast runs once
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ALL tables' buckets in ONE projection + explode — a per-table
-    # select+union would recompute the vector frame (and its
-    # n_planes dot products) once per table
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
 
     def all_buckets(vec: Column) -> Column:
@@ -174,33 +208,42 @@ def lsh_topk(
             F.array(*[bucket_col(vec, planes) for planes in tables])
         )
 
-    qb = q.select("query_id", all_buckets(F.col("qv")).alias("tbl", "bucket"))
-    cb = c.select(
-        "neighbor_id", all_buckets(F.col("cv")).alias("tbl", "bucket")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
+    ).withColumn("nq", norm(F.col("qv")))
+    qb = q.select(
+        "query_id", "qv", "nq", all_buckets(F.col("qv")).alias("tbl", "bucket")
+    )
+    # corpus bucket rows keep their vector: scoring happens in the
+    # collision stage, so no candidate-id dedup shuffle and no
+    # re-attach join ever carries the corpus
+    cb = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _dvec(F.col(vec_col)).alias("cv"),
+        )
+        .withColumn("nc", norm(F.col("cv")))
+        .select(
+            "neighbor_id", "cv", "nc",
+            all_buckets(F.col("cv")).alias("tbl", "bucket"),
+        )
     )
     if max_bucket_size is not None:
-        sizes = cb.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        cb = cb.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            ["tbl", "bucket"],
-        )
-    # queries are the small side — broadcast them into the bucket
-    # probe so the corpus side never shuffles here
-    cand = (
-        cb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .select("query_id", "neighbor_id")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .distinct()
-    )
-    # re-attach vectors AFTER dedup: corpus shuffles once by id
+        # the guard aggregation and the probe both read the bucket
+        # frame — persist so the scan+bucket projection runs once
+        cb = cb.persist(StorageLevel.MEMORY_AND_DISK)
+        cb = _drop_megabuckets(cb, max_bucket_size)
     scored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
+                "sim"
+            ),
         )
+        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id")
@@ -228,37 +271,114 @@ def ivf_topk(
     a SQL oracle), probe the ``nprobe`` cells nearest each query, and
     exact-re-rank the candidates.
 
-    Scale shape (mirrors lsh_topk's discipline):
-      - centroids broadcast (n_cells x dim, tiny); cell assignment is
-        a map-side score + ONE groupBy(id) arg-max whose shuffle rows
-        are (id, cell, sim) triples — corpus vectors never move;
-      - the probe table (queries x nprobe) broadcasts into the
-        candidate join, so candidate generation is shuffle-free on
-        the corpus side;
-      - vectors re-attach once, keyed by candidate id.
+    Scale shape:
+      - the centroid table is metadata-sized (n_cells rows), so it is
+        collected once; cell assignment then runs as ONE
+        ``mapInPandas`` stage over the corpus — EXACT left-fold dots
+        and IEEE sqrt/divide reproduce, bit-for-bit, the
+        ``max(struct(csim, cid))`` the aggregate form computed
+        (including the max-cid tie order) — so the corpus is scanned
+        once, never shuffled, and never blown up 16x through a
+        centroid crossJoin (the aggregate form materialized
+        |corpus| x n_cells rows; carrying the vector through it cost
+        ~0.5 KB per row);
+      - the assigned rows keep their vector + norm, and the probe
+        table (queries x nprobe, with query vectors) broadcasts into
+        the candidate join, so candidates go straight to the re-rank
+        with both vectors already in the row — zero corpus shuffles
+        end to end.
     Cells are Voronoi regions, so each corpus vector lives in EXACTLY
     one cell — no cross-table dedup is needed (unlike LSH).
     Recall is tuned by nprobe/n_cells; ties break deterministically
     (max cell id on equal sim, min neighbor_id on equal rank)."""
+    import pandas as pd
+
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("nq", norm(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
     )
-    cent = corpus.filter(F.col(id_col) < n_cells).select(
-        F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cent")
+    # metadata-sized collect: n_cells centroid vectors
+    cents = sorted(
+        (r["cid"], list(r["cent"]))
+        for r in corpus.filter(F.col(id_col) < n_cells)
+        .select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cent"))
+        .collect()
     )
-    scored = c.crossJoin(F.broadcast(cent)).select(
-        "neighbor_id", "cid", cosine(F.col("cv"), F.col("cent")).alias("csim")
+
+    def assign_cells(batches):
+        import numpy as np
+
+        cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C = np.array([v for _, v in cents], dtype=np.float64)  # (m, d)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["cv"].to_numpy())
+            n, d = V.shape
+            # exact left-fold dots and sums of squares
+            acc = np.zeros((n, len(cents)))
+            accn = np.zeros(n)
+            for k in range(d):
+                acc += np.outer(V[:, k], C[:, k])
+                accn += V[:, k] * V[:, k]
+            nc = np.sqrt(accn)
+            # centroid norms exactly: left-fold of squares
+            accc = np.zeros(len(cents))
+            for k in range(d):
+                accc += C[:, k] * C[:, k]
+            cn = np.sqrt(accc)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = acc / np.outer(nc, cn)
+            # max(struct(csim, cid)): among max-sim cells, take max cid.
+            # Spark orders NaN greater than every double, so NaN sims
+            # map to +inf before the max.
+            simsf = np.where(np.isnan(sims), np.inf, sims)
+            maxv = simsf.max(axis=1)
+            is_max = simsf == maxv[:, None]
+            cid_pick = np.where(is_max, cids[None, :], np.int64(-1)).max(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(),
+                    "cv": pdf["cv"].to_numpy(),
+                    "nc": nc,
+                    "cid": cid_pick,
+                }
+            )
+
+    assign = c.mapInPandas(
+        assign_cells,
+        schema="neighbor_id long, cv array<double>, nc double, cid long",
     )
-    assign = (
-        scored.groupBy("neighbor_id")
-        .agg(F.max(F.struct(F.col("csim"), F.col("cid"))).alias("m"))
-        .select("neighbor_id", F.col("m.cid").alias("cid"))
-    )
-    qscore = q.crossJoin(F.broadcast(cent)).select(
-        "query_id", "cid", cosine(F.col("qv"), F.col("cent")).alias("qsim")
+    if not cents:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, rank int, neighbor_id long, sim double"
+        )
+    cent_arr = [
+        (cid, F.array(*[F.lit(float(x)) for x in cvec])) for cid, cvec in cents
+    ]
+    # query-side centroid scoring: a handful of rows — the HOF dot
+    # keeps the n_cells-struct projection tree codegen-sized
+    qscore = q.select(
+        "query_id", "qv", "nq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(cid).alias("cid"),
+                        (
+                            dot(F.col("qv"), arr)
+                            / (F.col("nq") * F.sqrt(dot(arr, arr)))
+                        ).alias("qsim"),
+                    )
+                    for cid, arr in cent_arr
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        "query_id", "qv", "nq",
+        F.col("s.cid").alias("cid"), F.col("s.qsim").alias("qsim"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("qsim").desc(), F.col("cid").desc()
@@ -266,20 +386,17 @@ def ivf_topk(
     probes = (
         qscore.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
-        .select("query_id", "cid")
-    )
-    cand = (
-        assign.join(F.broadcast(probes), "cid")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
+        .select("query_id", "qv", "nq", "cid")
     )
     rescored = (
-        cand.join(c, "neighbor_id")
-        .join(F.broadcast(q), "query_id")
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+            (dot(F.col("qv"), F.col("cv")) / (F.col("nq") * F.col("nc"))).alias(
+                "sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -306,51 +423,143 @@ def embedding_near_dups(
     """Embedding-cosine near-duplicate pairs via LSH candidates +
     exact threshold: (doc_a, doc_b, sim) with doc_a < doc_b.
 
-    Same shuffle discipline as lsh_topk: the per-table self-join and
-    the cross-table dedup carry (bucket, id) / (doc_a, doc_b) pairs
-    only; vectors re-attach once per side after the dedup — and the
-    same ``max_bucket_size`` guard: a near-constant embedding region
-    (one dense hash bucket) would make the self-join quadratic, so
-    mega-buckets are dropped, trading recall only on degenerate
-    regions."""
-    from pyspark.storagelevel import StorageLevel
+    Plan shape: the bucket rows carry their vector (and precomputed
+    norm), so the per-bucket self-join computes the exact cosine and
+    applies the threshold IN the collision stage — the candidate
+    stream never crosses an exchange, and the only dedup is a
+    ``distinct`` over the (tiny) above-threshold result; a pair
+    colliding in several tables produces bit-identical sims, so the
+    distinct collapses them exactly. (The previous plan deduped the
+    FULL candidate set — millions of (id, id) rows through a shuffle —
+    then re-attached both vectors with two more shuffled joins; at
+    10x bench scale that was ~28s vs ~2s for this shape.)
 
-    # the vector frame feeds the bucket projection (both self-join
-    # sides + the size guard) and both verify-side re-attaches —
-    # persist so the scan+cast runs once
+    Plan shape (guide §4.2/§8 — hand whole batches to vectorized
+    native code, move the payload once):
+
+      1. ONE ``mapInPandas`` stage computes every table's bucket key
+         per vector with EXACT left-fold plane dots (64 sequential
+         vectorized adds — bit-for-bit the sign Spark's fold computes,
+         so bucket membership is identical) and emits the exploded
+         (tbl, bucket, vid, vv) rows.
+      2. ONE shuffle groups by (tbl, bucket); ``applyInPandas`` scores
+         each bucket as a matrix: a blocked BLAS gram over normalized
+         vectors prefilters at ``threshold - 1e-6`` (BLAS error for
+         64-dim doubles is ~1e-14, so no true pair is lost), then the
+         surviving pairs are re-verified with the EXACT left-fold
+         dot/norms — the returned sims are bit-identical to the
+         builtin-expression form.
+      3. a ``distinct`` collapses pairs found in several tables
+         (identical sims), proportional to the RESULT size.
+
+    The previous plans either shuffled the full candidate-id stream
+    (millions of (id,id) rows through a distinct + two re-attach
+    joins: ~28s at 10x bench scale) or materialized both vectors on
+    every collision row through the self-join (~1 KB/pair x 10M
+    pairs: worse). Here vectors cross the wire exactly once and pairs
+    never do; per-bucket scoring is O(n_b^2 * dim) BLAS flops.
+
+    ``max_bucket_size`` is enforced INSIDE the scorer (an oversized
+    group emits nothing — same semantics as dropping its rows before
+    the join): a near-constant embedding region would make scoring
+    quadratic, so skipping such buckets trades recall only on
+    degenerate regions."""
+    import pandas as pd
+
+    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     v = df.select(
         F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("vv")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    # ALL tables' buckets in ONE projection + explode (same
-    # build-once discipline as lsh_topk / lsh_candidate_pairs)
-    tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    b = v.select(
-        "vid",
-        F.posexplode(
-            F.array(*[bucket_col(F.col("vv"), planes) for planes in tables])
-        ).alias("tbl", "bucket"),
     )
-    if max_bucket_size is not None:
-        sizes = b.groupBy("tbl", "bucket").agg(F.count(F.lit(1)).alias("_n"))
-        b = b.join(
-            sizes.filter(F.col("_n") <= max_bucket_size).drop("_n"),
-            ["tbl", "bucket"],
+    planes_flat = [p for planes in tables for p in planes]
+    n_planes_per = n_planes
+    n_tab = n_tables
+    thr = float(threshold)
+    cap = max_bucket_size
+
+    def explode_buckets(batches):
+        import numpy as np
+
+        P = np.array(planes_flat, dtype=np.float64)  # (n_tab*n_planes, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["vv"].to_numpy())
+            # EXACT left-fold dot per (vector, plane): sequential adds
+            acc = np.zeros((len(V), P.shape[0]))
+            for k in range(P.shape[1]):
+                acc += np.outer(V[:, k], P[:, k])
+            bits = np.where(acc >= 0.0, "1", "0")
+            out = []
+            for t in range(n_tab):
+                key = bits[:, t * n_planes_per:(t + 1) * n_planes_per]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "tbl": t,
+                            "bucket": ["".join(r) for r in key],
+                            "vid": pdf["vid"].to_numpy(),
+                            "vv": pdf["vv"].to_numpy(),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    b = v.mapInPandas(
+        explode_buckets,
+        schema="tbl int, bucket string, vid long, vv array<double>",
+    )
+
+    def score(pdf):
+        import numpy as np
+
+        empty = pd.DataFrame({"doc_a": [], "doc_b": [], "sim": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "sim": "float64"}
         )
-    left = b.select(F.col("vid").alias("doc_a"), "tbl", "bucket")
-    right = b.select(F.col("vid").alias("doc_b"), "tbl", "bucket")
-    cand = (
-        left.join(right, ["tbl", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    va = v.select(F.col("vid").alias("doc_a"), F.col("vv").alias("va"))
-    vb = v.select(F.col("vid").alias("doc_b"), F.col("vv").alias("vb"))
+        n = len(pdf)
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        V = np.stack(pdf["vv"].to_numpy())
+        ids = pdf["vid"].to_numpy()
+        d = V.shape[1]
+        # exact norms: left-fold sum of squares, then IEEE sqrt —
+        # the same doubles the builtin sqrt(fold) computes
+        accn = np.zeros(n)
+        sq = V * V
+        for k in range(d):
+            accn += sq[:, k]
+        norms = np.sqrt(accn)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Vn = V / norms[:, None]
+        Vn = np.nan_to_num(Vn)
+        ia_all, ib_all = [], []
+        blk = max(1, (1 << 24) // max(n, 1))
+        for i0 in range(0, n, blk):
+            g = Vn[i0:i0 + blk] @ Vn.T
+            cand = np.argwhere(g >= thr - 1e-6)
+            if len(cand):
+                ia_all.append(cand[:, 0] + i0)
+                ib_all.append(cand[:, 1])
+        if not ia_all:
+            return empty
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        keep = ids[ia] < ids[ib]
+        ia, ib = ia[keep], ib[keep]
+        if not len(ia):
+            return empty
+        # exact re-verify: left-fold dot, exact norms, one divide
+        prod = V[ia] * V[ib]
+        acc = np.zeros(len(ia))
+        for k in range(d):
+            acc += prod[:, k]
+        sim = acc / (norms[ia] * norms[ib])
+        keep = sim >= thr
+        return pd.DataFrame(
+            {"doc_a": ids[ia[keep]], "doc_b": ids[ib[keep]], "sim": sim[keep]}
+        )
+
     return (
-        cand.join(va, "doc_a")
-        .join(vb, "doc_b")
-        .select(
-            "doc_a", "doc_b", cosine(F.col("va"), F.col("vb")).alias("sim")
-        )
-        .filter(F.col("sim") >= threshold)
+        b.groupBy("tbl", "bucket")
+        .applyInPandas(score, schema="doc_a long, doc_b long, sim double")
+        .distinct()
     )
