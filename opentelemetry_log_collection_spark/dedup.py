@@ -355,10 +355,15 @@ def jaccard_ngram_pairs(
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     idx = sh
     if max_df is not None:
+        # drop stop-shingles via a broadcast ANTI join against the
+        # OVER-cap set (tiny, usually empty) — broadcasting the
+        # under-cap census would ship the whole shingle vocabulary
+        # through the driver (millions of rows at bench scale)
         dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
         idx = sh.join(
-            F.broadcast(dfreq.filter(F.col("_df") <= max_df).drop("_df")),
+            F.broadcast(dfreq.filter(F.col("_df") > max_df).drop("_df")),
             "_h",
+            "left_anti",
         )
     small = idx_rows <= broadcast_index_max_rows
     idx = idx.join(F.broadcast(sizes) if small else sizes, "doc_id")

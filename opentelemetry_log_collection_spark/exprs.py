@@ -49,6 +49,38 @@ class ExprError(ValueError):
     pass
 
 
+#: regex metacharacters that make a pattern more than a literal
+_REGEX_META = set(".^$*+?()[]{}|\\")
+
+
+def _regex_prefix_literal(pat: str) -> str | None:
+    """The literal prefix P when ``pat`` is exactly ``^<literal>``
+    (escapes of metacharacters allowed, e.g. ``^10\\.`` -> ``10.``);
+    None when the pattern uses any real regex construct. Used to fold
+    ``matches`` guards into ``startswith``."""
+    if not pat.startswith("^"):
+        return None
+    out: list[str] = []
+    i = 1
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\":
+            if i + 1 >= len(pat):
+                return None
+            nxt = pat[i + 1]
+            # \d \w \s \b etc. are classes/anchors, not escapes
+            if nxt.isalnum():
+                return None
+            out.append(nxt)
+            i += 2
+            continue
+        if c in _REGEX_META:
+            return None
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def _tokenize(s: str) -> list[tuple[str, str]]:
     toks: list[tuple[str, str]] = []
     pos = 0
@@ -143,6 +175,15 @@ class _Parser:
             if op == "matches":
                 if right.lit is None:
                     raise ExprError("matches requires a string literal pattern")
+                # ^-anchored pure-literal patterns fold to startswith:
+                # Java regex without MULTILINE anchors ^ at input start
+                # only, so `matches "^10\\."` IS a prefix test — and a
+                # codegen startswith costs a fraction of the regex
+                # machinery the guard otherwise runs on every row
+                # (the flagship evaluates several such guards per row)
+                prefix = _regex_prefix_literal(right.lit)
+                if prefix is not None:
+                    return _Val(lc.startswith(F.lit(prefix)), "bool")
                 return _Val(lc.rlike(right.lit), "bool")
             if op == "in":
                 if right.items is None:
