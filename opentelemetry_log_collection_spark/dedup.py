@@ -234,10 +234,14 @@ def connected_components(
             F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
         ).collect()[0]["s"]
 
+    # one-hop head start: init label = min(node, min neighbor) — the
+    # same aggregation shape the old distinct() init paid, but the
+    # first propagation round comes free, which at O(log d) total
+    # rounds is a full join+checkpoint round-trip saved
     labels = _cut(
-        e.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("lbl", F.col("node"))
+        e.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("_mn"))
+        .select("node", F.least(F.col("node"), F.col("_mn")).alias("lbl"))
     )
     prev_sum = _sum(labels)
     for _ in range(max_iter):
