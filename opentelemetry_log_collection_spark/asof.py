@@ -115,6 +115,7 @@ def interval_join(
     start: str = "ts_start",
     end: str = "ts_end",
     bucket_s: int = 3600,
+    max_buckets: int = 1_000_000,
 ) -> DataFrame:
     """Range join: one output row per (point, interval) pair with the
     same ``on`` key and ``start <= point.ts < end`` (end-exclusive).
@@ -138,22 +139,42 @@ def interval_join(
     more buckets (an interval spanning B buckets ships B rows of its
     (key, start, end, payload) — payloads never duplicate per point).
     Degenerate intervals (end <= start) match nothing and emit no
-    bucket rows."""
+    bucket rows; an interval spanning more than ``max_buckets``
+    buckets (a corrupt far-future end timestamp, say) raises a clear
+    error from the expression instead of letting ``sequence`` abort
+    the whole job against Spark's array-length ceiling — widen
+    ``bucket_s`` or raise ``max_buckets`` for legitimately huge
+    spans."""
     w_us = int(bucket_s) * 1_000_000
 
     def us(col: str):
         return F.unix_micros(F.col(col).cast("timestamp_ltz"))
 
     pts = points.withColumn("_b", F.floor(us(ts) / w_us))
+    b_lo = F.floor(us(start) / w_us)
+    b_hi = F.floor((us(end) - 1) / w_us)
+    guarded_hi = F.when(
+        b_hi - b_lo < F.lit(int(max_buckets)), b_hi
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans more than {max_buckets}"
+                    f" buckets of {bucket_s}s (ts_start="
+                ),
+                F.col(start).cast("string"),
+                F.lit(", ts_end="),
+                F.col(end).cast("string"),
+                F.lit("); widen bucket_s or raise max_buckets"),
+            )
+        ).cast("bigint")
+    )
     ivs = (
         intervals.withColumn(
             "_bs",
             F.when(
                 us(end) > us(start),
-                F.sequence(
-                    F.floor(us(start) / w_us),
-                    F.floor((us(end) - 1) / w_us),
-                ),
+                F.sequence(b_lo, guarded_hi),
             ),
         )
         .withColumn("_b", F.explode("_bs"))

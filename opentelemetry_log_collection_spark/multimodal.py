@@ -1460,13 +1460,21 @@ def decode_gif(payload: bytes) -> dict:
     interlaced images, or local color tables (declared boundary)."""
     import struct
 
+    def need(p: int, n: int = 1) -> None:
+        # truncation raises the documented ValueError, never a bare
+        # IndexError from payload[p] mid-walk
+        if p + n > len(payload):
+            raise ValueError("truncated GIF payload")
+
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF container")
+    need(6, 7)
     sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
     pos = 13
     if not packed & 0x80:
         raise ValueError("GIF without a global color table")
     gct_n = 2 << (packed & 0x07)
+    need(pos, 3 * gct_n)
     gct = payload[pos : pos + 3 * gct_n]
     pos += 3 * gct_n
     while pos < len(payload):
@@ -1476,30 +1484,39 @@ def decode_gif(payload: bytes) -> dict:
             raise ValueError("GIF trailer before any image block")
         if b0 == 0x21:  # extension: label + sub-blocks until 0
             pos += 1
+            need(pos)
             while payload[pos]:
                 pos += 1 + payload[pos]
+                need(pos)
             pos += 1
             continue
         if b0 != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{b0:02x}")
+        need(pos, 9)
         _lx, _ty, w, h, ipacked = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         if ipacked & 0x80:
             raise ValueError("local color tables unsupported")
         if ipacked & 0x40:
             raise ValueError("interlaced GIF unsupported")
+        need(pos)
         mcs = payload[pos]
         pos += 1
         stream = bytearray()
+        need(pos)
         while payload[pos]:
             n = payload[pos]
+            need(pos + 1, n)
             stream += payload[pos + 1 : pos + 1 + n]
             pos += 1 + n
+            need(pos)
         idx = np.frombuffer(lzw_decode(bytes(stream), mcs), dtype=np.uint8)
         if idx.size != w * h:
             raise ValueError(
                 f"LZW decoded {idx.size} pixels for a {w}x{h} image"
             )
+        if gct_n < 256 and idx.size and int(idx.max()) >= gct_n:
+            raise ValueError("palette index outside the global color table")
         pal = np.frombuffer(gct, dtype=np.uint8).reshape(gct_n, 3)
         px = pal[idx]  # (w*h, 3) RGB rows in image order
         sums = px.astype(np.int64).sum(axis=0)  # exact int per channel

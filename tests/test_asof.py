@@ -94,3 +94,31 @@ def test_interval_join_overlaps_each_produce_a_row(spark):
     out = sorted(r["tag"] for r in interval_join(
         pts, ivs, on="user", bucket_s=60).collect())
     assert out == ["x", "y"]
+
+
+def test_interval_join_huge_span_raises_clear_error(spark):
+    """One corrupt far-future end timestamp must raise the documented
+    interval_join error, not abort the job against Spark's
+    array-length ceiling (max_buckets guard)."""
+    from opentelemetry_log_collection_spark.asof import interval_join
+
+    pts = _ts(spark, [(1, "u", "2024-01-01 00:30:00")],
+              ["event_id", "user", "ts"])
+    ivs = spark.createDataFrame([
+        ("u", "2024-01-01 00:00:00", "2999-01-01 00:00:00", "bad"),
+    ], ["user", "ts_start", "ts_end", "tag"])
+    for c in ("ts_start", "ts_end"):
+        ivs = ivs.withColumn(c, ivs[c].cast("timestamp"))
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    with pytest.raises(Exception, match="interval_join|USER_RAISED"):
+        interval_join(pts, ivs, on="user", bucket_s=60,
+                      max_buckets=1000).collect()
+    # a legitimate span below the cap still joins
+    ok = spark.createDataFrame([
+        ("u", "2024-01-01 00:00:00", "2024-01-01 01:00:00", "ok"),
+    ], ["user", "ts_start", "ts_end", "tag"])
+    for c in ("ts_start", "ts_end"):
+        ok = ok.withColumn(c, ok[c].cast("timestamp"))
+    assert [r["tag"] for r in interval_join(
+        pts, ok, on="user", bucket_s=60, max_buckets=1000).collect()] == ["ok"]

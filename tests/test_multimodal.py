@@ -565,10 +565,19 @@ def test_gif_decode_rejects_malformed():
     blob2[desc + 9] |= 0x80         # claim a local color table
     with pytest.raises(ValueError, match="local color"):
         decode_gif(bytes(blob2))
-    # truncated LZW stream: cut mid-sub-block
+    # truncated LZW stream: cut mid-sub-block — a clean ValueError,
+    # never a bare IndexError from the sub-block walk
     blob3 = synthesize_gif(5)
-    with pytest.raises((ValueError, IndexError)):
+    with pytest.raises(ValueError):
         decode_gif(blob3[: len(blob3) - 40])
+    # palette index beyond a small global color table
+    blob4 = bytearray(synthesize_gif(6))
+    blob4[10] = (blob4[10] & ~0x07) | 0x00  # claim gct_n = 2
+    # keep the stream intact: drop the now-extra GCT bytes so offsets
+    # still line up (2 entries = 6 bytes instead of 768)
+    blob4 = blob4[:13] + blob4[13:19] + blob4[13 + 768:]
+    with pytest.raises(ValueError):
+        decode_gif(bytes(blob4))
 
 
 def test_image_features_mixed_four_formats(spark):
