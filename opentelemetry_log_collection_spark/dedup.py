@@ -215,7 +215,12 @@ def connected_components(
     (``sparkContext.setCheckpointDir`` + ``DataFrame.checkpoint``) so
     an executor loss replays from durable storage — the cluster-run
     option; the default localCheckpoint is executor-local and right
-    for single-node runs. Raises if max_iter rounds don't converge
+    for single-node runs. Two operational notes for that mode:
+    ``setCheckpointDir`` is SparkContext-global (other components'
+    checkpoints in the same session follow it), and superseded
+    round-k checkpoints are only garbage-collected with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` —
+    without it, clean the directory after the job. Raises if max_iter rounds don't converge
     (a pathological chain; raise max_iter for adversarial graphs)."""
     from pyspark.storagelevel import StorageLevel
 
@@ -285,6 +290,7 @@ def connected_components(
             return labels.select(
                 F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id")
             )
+    e.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
     )

@@ -299,12 +299,16 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
     )
-    # metadata-sized collect: n_cells centroid vectors
+    # metadata-sized collect: n_cells centroid vectors. A null
+    # embedding among the centroid ids is skipped — the aggregate form
+    # scored it as null csim, which never won the (csim, cid) max, so
+    # excluding it from the panel assigns identically.
     cents = sorted(
         (r["cid"], list(r["cent"]))
         for r in corpus.filter(F.col(id_col) < n_cells)
         .select(F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cent"))
         .collect()
+        if r["cent"] is not None
     )
 
     def assign_cells(batches):
@@ -352,8 +356,17 @@ def ivf_topk(
         schema="neighbor_id long, cv array<double>, nc double, cid long",
     )
     if not cents:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, sim double"
+        # empty result with the id columns' REAL types (an id_col of
+        # another type must not come back as a hardcoded long)
+        return (
+            q.crossJoin(c.limit(0))
+            .select(
+                "query_id",
+                F.lit(1).cast("int").alias("rank"),
+                "neighbor_id",
+                F.lit(0.0).alias("sim"),
+            )
+            .limit(0)
         )
     cent_arr = [
         (cid, F.array(*[F.lit(float(x)) for x in cvec])) for cid, cvec in cents

@@ -79,7 +79,11 @@ def scale_documents(src: str, dst: str, factor: int) -> None:
     d_span = int(did.max()) + 1
     chunks = [t]
     for k in range(1, factor):
-        pref = f"r{k}"
+        # the section-sign separator keeps the prefix injective: an
+        # original token can only collide with replica k's image of
+        # another token if it itself contains "§", which the source
+        # corpus does not
+        pref = f"r{k}§"
         tx = [_WORD.sub(lambda m: pref + m.group(0), s) for s in texts]
         arr_t = pa.array(tx, type=pa.string())
         tk = t.set_column(
