@@ -199,6 +199,8 @@ def lsh_topk(
     Missing neighbors (hash misses) are the accepted approximation;
     recall is tunable via n_planes/n_tables (measured in
     tests/test_training_ops.py::test_lsh_recall_vs_brute_force)."""
+    import pandas as pd
+
     from pyspark.storagelevel import StorageLevel
 
     tables = [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
@@ -211,22 +213,96 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv")
     ).withColumn("nq", norm(F.col("qv")))
+    # query side: a handful of rows — the HOF projection is fine there
     qb = q.select(
         "query_id", "qv", "nq", all_buckets(F.col("qv")).alias("tbl", "bucket")
     )
     # corpus bucket rows keep their vector: scoring happens in the
     # collision stage, so no candidate-id dedup shuffle and no
-    # re-attach join ever carries the corpus
-    cb = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            _dvec(F.col(vec_col)).alias("cv"),
-        )
-        .withColumn("nc", norm(F.col("cv")))
-        .select(
-            "neighbor_id", "cv", "nc",
-            all_buckets(F.col("cv")).alias("tbl", "bucket"),
-        )
+    # re-attach join ever carries the corpus. The bucket projection
+    # itself runs as ONE mapInPandas stage with EXACT left-fold plane
+    # dots and norms (the same sequential-add order the HOF fold
+    # evaluates, so signs/bucket membership and nc are bit-identical)
+    # — the n_planes x n_tables HOF dots were ~85% of the query wall
+    # at 10x bench scale (BENCH.md r6).
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    id_ddl = c.schema["neighbor_id"].dataType.simpleString()
+    planes_flat = [p for planes in tables for p in planes]
+    n_pl, n_tab = n_planes, n_tables
+
+    def corpus_buckets(batches):
+        import numpy as np
+
+        P = np.array(planes_flat, dtype=np.float64)  # (n_tab*n_pl, dim)
+        dim_p = P.shape[1]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cv = pdf["cv"].to_numpy()
+            ok = np.array(
+                [v is not None and len(v) == dim_p for v in cv], dtype=bool
+            )
+            frames = []
+            if ok.any():
+                V = np.stack(cv[ok])
+                # exact left-fold dot per (vector, plane) and exact
+                # left-fold sum of squares: sequential adds in k-order
+                acc = np.zeros((len(V), P.shape[0]))
+                accn = np.zeros(len(V))
+                for k in range(dim_p):
+                    acc += np.outer(V[:, k], P[:, k])
+                    accn += V[:, k] * V[:, k]
+                nc = np.sqrt(accn)
+                bits = np.where(acc >= 0.0, "1", "0")
+                ids = pdf["neighbor_id"].to_numpy()[ok]
+                for t in range(n_tab):
+                    key = bits[:, t * n_pl:(t + 1) * n_pl]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "neighbor_id": ids,
+                                "cv": cv[ok],
+                                "nc": nc,
+                                "tbl": t,
+                                "bucket": ["".join(r) for r in key],
+                            }
+                        )
+                    )
+            if not ok.all():
+                # null vector or length != dim: every plane-dot folds a
+                # null product, so the expression form bucketed these
+                # rows at all-"0" bits; norms still fold their own
+                # squares (null norm for a null vector)
+                for i in np.flatnonzero(~ok):
+                    v = cv[i]
+                    nrm = None
+                    if v is not None:
+                        a = 0.0
+                        for x in v:
+                            a += float(x) * float(x)
+                        nrm = float(np.sqrt(a))
+                    for t in range(n_tab):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "neighbor_id": [pdf["neighbor_id"].iloc[i]],
+                                    "cv": [v],
+                                    "nc": [nrm],
+                                    "tbl": t,
+                                    "bucket": ["0" * n_pl],
+                                }
+                            )
+                        )
+            yield pd.concat(frames)
+
+    cb = c.mapInPandas(
+        corpus_buckets,
+        schema=(
+            f"neighbor_id {id_ddl}, cv array<double>, nc double, "
+            "tbl int, bucket string"
+        ),
     )
     if max_bucket_size is not None:
         # the guard aggregation and the probe both read the bucket
