@@ -569,18 +569,34 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
     the bit. String output sidesteps 64-bit sign issues and is
     engine-portable.
 
-    Scale shape: the 64 per-bit vote sums are 64 column aggregates in
-    ONE groupBy(doc_id) — the only exchange, shuffling (doc_id, 64
-    longs) with map-side partial aggregation. The bit extraction runs
-    as 64 plan-time-constant INTEGER expressions over two 32-bit
-    halves of the digest (conv the first/second 8 hex chars once per
-    token, then shift+mask per bit) — bit b of the converted half IS
-    bit (3 - b%4) of hex nibble b//4, so the votes are identical to
-    the per-nibble string form, at a fraction of the cost: the old
-    instr/substr-per-bit form ran 64 string scans per token (measured
-    ~2x the whole query wall at 10x bench scale). (No tokens x 64 row
-    explosion either: an earlier formulation shuffled 64x the token
-    count into a groupBy(doc_id, bit).)"""
+    Scale shape: the per-bit vote sums ride ONE groupBy(doc_id) — the
+    only exchange, with map-side partial aggregation. The bit
+    extraction runs as plan-time-constant INTEGER expressions over two
+    32-bit halves of the digest (conv the first/second 8 hex chars
+    once per token, then shift+mask per bit) — bit b of the converted
+    half IS bit (3 - b%4) of hex nibble b//4, so the votes are
+    identical to the per-nibble string form, at a fraction of the
+    cost: the old instr/substr-per-bit form ran 64 string scans per
+    token (measured ~2x the whole query wall at 10x bench scale). (No
+    tokens x 64 row explosion either: an earlier formulation shuffled
+    64x the token count into a groupBy(doc_id, bit).)
+
+    Aggregate width matters: 64 separate SUM columns push the
+    generated aggregate-update method past the JVM's huge-method JIT
+    threshold and the whole stage runs effectively interpreted — a
+    measured CLIFF between 32 and 64 sum columns (4.3s vs 24.7s for
+    the same token stream at 10x bench scale; raising
+    spark.sql.codegen.maxFields does nothing). So bit pairs (2j,
+    2j+1) pack into ONE bigint lane-sum each: per token the packed
+    term is (bit_2j << 31) + bit_2j+1, so SUM(p_j) accumulates
+    cnt(bit 2j) in the high lane and cnt(bit 2j+1) in the low lane —
+    33 aggregate columns (32 packed sums + the token count n), under
+    the cliff. The signature bit is then set iff 2*cnt_b > n, which
+    is EXACTLY the old sign test (the +/-1 vote sum is 2*cnt_b - n).
+    Lanes are exact while every doc has < 2^31 tokens; a doc at or
+    past that fails loudly per row (a deterministic ANSI CAST_OVERFLOW
+    — see the guard comment for why not raise_error) instead of
+    silently corrupting lanes."""
     w = words_col(F.col(text_col))
     tokens = (
         df.select("doc_id", F.explode(w).alias("word"))
@@ -589,25 +605,39 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("x1", F.expr("cast(conv(substr(h, 1, 8), 16, 10) as bigint)"))
         .withColumn("x2", F.expr("cast(conv(substr(h, 9, 8), 16, 10) as bigint)"))
     )
-    # vote_b = bit b of the digest's nibble b//4, mapped 0/1 -> -1/+1.
-    # Within half x (8 big-endian nibbles), nibble j sits at bits
-    # (7-j)*4..(7-j)*4+3, and the weight-[8,4,2,1][b%4] bit of the
-    # nibble is its bit 3-(b%4) — pure codegen shift/mask arithmetic.
-    def _vote(b: int) -> Column:
+
+    # bit_b = bit b of the digest's nibble b//4. Within half x (8
+    # big-endian nibbles), nibble j sits at bits (7-j)*4..(7-j)*4+3,
+    # and the weight-[8,4,2,1][b%4] bit of the nibble is its bit
+    # 3-(b%4) — pure codegen shift/mask arithmetic.
+    def _bit(b: int) -> Column:
         half = "x1" if b < 32 else "x2"
         j = (b // 4) % 8
         pos = (7 - j) * 4 + (3 - b % 4)
-        return (
-            F.shiftright(F.col(half), pos).bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
+        return F.shiftright(F.col(half), pos).bitwiseAND(F.lit(1))
 
+    lane_cap = 1 << 31
+    packed = [
+        (F.shiftleft(_bit(2 * j), 31) + _bit(2 * j + 1)).alias(f"p{j}")
+        for j in range(32)
+    ]
     sums = (
-        tokens.select("doc_id", *[_vote(b) for b in range(64)])
+        tokens.select("doc_id", *packed)
         .groupBy("doc_id")
-        .agg(*[F.sum(f"v{b}").alias(f"s{b}") for b in range(64)])
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[F.sum(f"p{j}").alias(f"sp{j}") for j in range(32)],
+        )
     )
+
+    def _cnt(b: int) -> Column:
+        j, lo = divmod(b, 2)
+        if lo == 0:
+            return F.shiftright(F.col(f"sp{j}"), 31)
+        return F.col(f"sp{j}").bitwiseAND(F.lit(lane_cap - 1))
+
     bits = [
-        F.when(F.col(f"s{b}") > 0, F.lit(1)).otherwise(F.lit(0))
+        F.when(_cnt(b) * 2 > F.col("_n"), F.lit(1)).otherwise(F.lit(0))
         for b in range(64)
     ]
     hex_arr = F.array(*[F.lit(c) for c in _HEX])
@@ -619,7 +649,27 @@ def simhash64(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         for nb in range(16)
     ]
-    return sums.select("doc_id", F.concat(*nib_chars).alias("simhash"))
+    # The lane-capacity guard wraps the FINAL concat exactly once (a
+    # guard folded into _n itself gets inlined by the optimizer into
+    # all 64 bit expressions — measured +0.3s/run of pure plan bloat),
+    # and it must be DETERMINISTIC: raise_error() is a nondeterministic
+    # expression, and one nondeterministic node anywhere in the plan
+    # defeats CacheManager's canonicalized-plan lookup — callers like
+    # simhash_near_dups persist this frame, and with raise_error in
+    # the tree every re-derivation MISSED the cache and recomputed the
+    # signature (measured +2s/rep). So the overflow row instead casts
+    # _n to int: under ANSI mode (Spark 4 default, every engine
+    # session) that throws CAST_OVERFLOW at exactly the offending
+    # row; with ANSI off it yields a clearly-invalid non-hex marker
+    # string rather than a silently corrupt signature.
+    sig = F.concat(*nib_chars)
+    guarded = F.when(F.col("_n") < F.lit(lane_cap), sig).otherwise(
+        F.concat(
+            F.lit("simhash64 token-count overflow: "),
+            F.col("_n").cast("int").cast("string"),
+        )
+    )
+    return sums.select("doc_id", guarded.alias("simhash"))
 
 
 def hamming64_expr(col_a: str, col_b: str) -> Column:

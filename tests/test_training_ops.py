@@ -82,6 +82,41 @@ def test_simhash_properties(spark, docs):
     assert ham < ham_far                 # near-dup closer than unrelated
 
 
+def test_simhash_packed_lanes_match_reference(spark):
+    """The packed-lane vote aggregate (32 two-lane bigint sums, bit =
+    2*cnt > n) must reproduce the definitional per-word +/-1 vote sums
+    bit-for-bit — a reference implementation in plain Python."""
+    import hashlib
+    import re
+
+    texts = [
+        (0, "alpha beta gamma alpha"),
+        (1, "one two three four five six seven eight nine ten"),
+        (2, "Alpha ALPHA  alpha"),
+        (3, "solitary"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash64(df).collect()}
+    for doc_id, text in texts:
+        words = re.split(r"\s+", text.strip().lower())
+        sums = [0] * 64
+        for w in words:
+            h = hashlib.md5(w.encode()).hexdigest()
+            for b in range(64):
+                nib = int(h[b // 4], 16)
+                bit = (nib >> (3 - b % 4)) & 1
+                sums[b] += 1 if bit else -1
+        bits = [1 if s > 0 else 0 for s in sums]
+        exp = "".join(
+            "0123456789abcdef"[
+                bits[4 * nb] * 8 + bits[4 * nb + 1] * 4
+                + bits[4 * nb + 2] * 2 + bits[4 * nb + 3]
+            ]
+            for nb in range(16)
+        )
+        assert got[doc_id] == exp, f"doc {doc_id}"
+
+
 def test_simhash_near_dups(spark, docs):
     """Banded candidate generation + exact hamming verify: the exact
     dup is at distance 0; pigeonhole recall is total for hamming <=
