@@ -359,10 +359,13 @@ def jaccard_ngram_pairs(
     """
     from pyspark.storagelevel import StorageLevel
 
+    # hash BEFORE the distinct: the dedup shuffle then carries 8-byte
+    # longs, not shingle strings (distinct-on-hash == distinct-on-
+    # string modulo the same vanishing 64-bit collision odds)
     sh = (
         shingles(df, text_col, n)
-        .distinct()
         .select("doc_id", F.xxhash64("shingle").alias("_h"))
+        .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # one cheap job: materializes the shared index AND yields the row
@@ -500,24 +503,32 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs. Counts are exact ints
     (inter_cnt/union_cnt) so downstream thresholds are reproducible
-    bit-for-bit; similarity = inter/union when a ratio is wanted."""
+    bit-for-bit; similarity = inter/union when a ratio is wanted.
+
+    The index keys on xxhash64(shingle) BEFORE the distinct, so the
+    dedup shuffle and both intersection joins handle 8-byte longs
+    instead of shingle strings (the string-keyed distinct alone was
+    6.3s of minhash_near_dups' 18.8s first rep at 10x bench scale).
+    Same 64-bit-collision trade as jaccard_ngram_pairs' index and the
+    LSH band keys: ~|shingles|^2/2^64, vanishing."""
     from pyspark.storagelevel import StorageLevel
 
     # the distinct shingle index feeds THREE branches (sizes + both
     # intersection sides) — persist so the corpus is shingled once
     sh = (
         shingles(df, text_col)
+        .select("doc_id", F.xxhash64("shingle").alias("_h"))
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    # |A ∩ B|: equi-join on BOTH (doc, shingle) so the shingle value is
+    # |A ∩ B|: equi-join on BOTH (doc, hash) so the shingle hash is
     # part of the hash-join key — never a per-pair cross product
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "_h")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "_h")
     inter = (
         pairs.join(sh_a, "doc_a")
-        .join(sh_b, ["doc_b", "shingle"])
+        .join(sh_b, ["doc_b", "_h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter_cnt"))
     )
