@@ -64,10 +64,18 @@ def pack_sequences(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = docs.sparkSession
+    from pyspark.storagelevel import StorageLevel
+
     n_tok = (
         token_count if token_count is not None else whitespace_tokens(F.col(text_col))
     ).cast("bigint")
-    t = docs.select(F.col(id_col), n_tok.alias("n_tokens"))
+    # (doc_id, n_tokens) feeds THREE jobs (bounds, bucket totals, the
+    # final offset projection) — persist so the corpus is scanned and
+    # tokenized once, not once per job (the id-only bounds job prunes
+    # the tokenize, but totals and the final frame both paid it)
+    t = docs.select(F.col(id_col), n_tok.alias("n_tokens")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     bounds = t.agg(
         F.min(id_col).alias("lo"), F.max(id_col).alias("hi")
