@@ -450,21 +450,47 @@ def _seed_hash(s: int, shingle: Column, hash_fn: str) -> Column:
     raise ValueError(f"unknown minhash hash_fn {hash_fn!r}")
 
 
+#: max min() columns per aggregation operator. Wide aggregates hit
+#: the same JVM cliff simhash64's vote sums did: 32 min columns run
+#: 4.3s, 64 run 5.9s, 128 run 17s on the same 7.5M-shingle stream at
+#: 10x bench scale (the generated update path stops being JIT-friendly
+#: — spark.sql.codegen.maxFields, the two-level agg map confs and
+#: -XX:-DontCompileHugeMethods all change nothing). Chunking to 32 and
+#: joining the chunk signatures on doc_id ran 5.6-8.0s for K=128 even
+#: though each chunk re-shingles the corpus (the chunk subtrees are
+#: independent and schedule in parallel).
+_AGG_CHUNK = 32
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
     seeds: int = MINHASH_SEEDS,
     hash_fn: str = MINHASH_HASH,
 ) -> DataFrame:
-    """(doc_id, mh0..mh{K-1}): K min-hashes in ONE aggregation pass.
+    """(doc_id, mh0..mh{K-1}): K min-hashes, aggregated in chunks of
+    ``_AGG_CHUNK`` seed columns joined on doc_id (one pass — the plan
+    today's defaults and every driver-checked config produce — for
+    K <= 32; see _AGG_CHUNK for why wider single aggregates lose).
     Each seed's hash is deterministic and engine-independent — see
     MINHASH_HASH for the family choice."""
     sh = shingles(df, text_col)
-    aggs = [
-        F.min(_seed_hash(s, F.col("shingle"), hash_fn)).alias(f"mh{s}")
-        for s in range(seeds)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+
+    def chunk_agg(lo: int, hi: int) -> DataFrame:
+        aggs = [
+            F.min(_seed_hash(s, F.col("shingle"), hash_fn)).alias(f"mh{s}")
+            for s in range(lo, hi)
+        ]
+        return sh.groupBy("doc_id").agg(*aggs)
+
+    out = chunk_agg(0, min(seeds, _AGG_CHUNK))
+    for lo in range(_AGG_CHUNK, seeds, _AGG_CHUNK):
+        # inner join is exact: a doc yields shingles in every chunk or
+        # in none, so the doc sets of all chunk frames are identical
+        out = out.join(chunk_agg(lo, min(lo + _AGG_CHUNK, seeds)), "doc_id")
+    if seeds > _AGG_CHUNK:
+        out = out.select("doc_id", *[f"mh{s}" for s in range(seeds)])
+    return out
 
 
 def lsh_candidate_pairs(
