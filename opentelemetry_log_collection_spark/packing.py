@@ -11,21 +11,26 @@ recombine's default-bucket tagging, operators/recombine.py:159-234)
 with one refinement: buckets are DETERMINISTIC uniform doc_id ranges
 (from an exact min/max aggregate), not ``repartitionByRange``'s
 sampled boundaries. A pure function of doc_id means every
-re-evaluation of the plan buckets identically, so nothing needs to be
-persisted for cross-consumer consistency — no cache entry outlives
-the job — and the sampled-range exchange disappears (the window's own
-hash exchange on ``_bkt`` is the plan's ONE shuffle).
+re-evaluation of the plan buckets identically, so no persist is
+needed for cross-consumer CONSISTENCY — and the sampled-range
+exchange disappears (the window's own hash exchange on ``_bkt`` is
+the plan's ONE shuffle).
 
   1. one exact (min, max) aggregate fixes the bucket ranges;
   2. per-bucket local running sums (parallel, bounded by slice size);
   3. per-bucket totals — P rows — collect to the driver, cumulate,
      and come back as a literal map probe (no join at all).
 
-Cost note: the totals aggregate is a second pass over the (id, token
-count) projection. With the default whitespace counter that re-reads
-the text column once more; callers packing a corpus they already
-token-counted (e.g. a materialized token_stats output) pass
-``token_count=F.col(...)`` and both passes are cheap 2-column scans.
+Cost note: the (id, token count) projection feeds three jobs (bounds,
+totals, the final offsets), so it IS persisted — for cost, not
+consistency: the default whitespace counter would otherwise
+re-tokenize the text for the last two (measured 1.9s -> 0.67s warm
+at 10x bench scale). Like the dedup/similarity persists, the cache
+entry lives until the SparkContext ends or the caller unpersists;
+long-lived drivers packing many distinct corpora should clear it
+(``spark.catalog.clearCache()`` or re-derive with
+``token_count=F.col(...)`` over an already-counted projection, which
+makes both extra passes cheap 2-column scans).
 
 Bucket balance assumes doc_ids are roughly dense (the usual case for
 a curated corpus). Highly clustered sparse ids skew bucket sizes —

@@ -151,6 +151,27 @@ def bucket_col(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _fold_plane_bits(V, P):
+    """Exact left-fold dot of every (vector, plane) pair and the LSH
+    sign bits, shared by the numpy bucket stages (lsh_topk corpus side
+    and embedding_near_dups).
+
+    The k-ordered sequential adds reproduce the HOF fold's doubles
+    bit-for-bit, and the sign test follows SPARK's comparison
+    semantics: NaN orders greater than every double, so ``NaN >= 0``
+    is TRUE and a NaN dot signs '1' — ``np.where(acc >= 0)`` alone
+    would sign it '0' and silently move NaN-poisoned vectors to a
+    different bucket than the expression form (caught in review with
+    a live repro). Returns (acc, bits)."""
+    import numpy as np
+
+    acc = np.zeros((len(V), P.shape[0]))
+    for k in range(P.shape[1]):
+        acc += np.outer(V[:, k], P[:, k])
+    bits = np.where((acc >= 0.0) | np.isnan(acc), "1", "0")
+    return acc, bits
+
+
 def _drop_megabuckets(b: DataFrame, max_bucket_size: int) -> DataFrame:
     """Remove rows landing in over-populated (tbl, bucket) cells via a
     broadcast ANTI join against the (tiny, usually empty) oversized
@@ -221,10 +242,13 @@ def lsh_topk(
     # collision stage, so no candidate-id dedup shuffle and no
     # re-attach join ever carries the corpus. The bucket projection
     # itself runs as ONE mapInPandas stage with EXACT left-fold plane
-    # dots and norms (the same sequential-add order the HOF fold
-    # evaluates, so signs/bucket membership and nc are bit-identical)
-    # — the n_planes x n_tables HOF dots were ~85% of the query wall
-    # at 10x bench scale (BENCH.md r6).
+    # dots and norms (_fold_plane_bits: same sequential-add order the
+    # HOF fold evaluates, same NaN-signs-'1' comparison semantics) —
+    # the n_planes x n_tables HOF dots were ~85% of the query wall
+    # at 10x bench scale (BENCH.md r6). Residual NaN caveat: a vector
+    # CONTAINING NaN gets a NaN norm, which Arrow surfaces to Spark
+    # as null — such degenerate rows score a null sim (ranked last)
+    # where the pure-expression form ranked their NaN sim first.
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
     )
@@ -247,15 +271,12 @@ def lsh_topk(
             frames = []
             if ok.any():
                 V = np.stack(cv[ok])
-                # exact left-fold dot per (vector, plane) and exact
-                # left-fold sum of squares: sequential adds in k-order
-                acc = np.zeros((len(V), P.shape[0]))
+                _, bits = _fold_plane_bits(V, P)
+                # exact left-fold sum of squares, same k-order
                 accn = np.zeros(len(V))
                 for k in range(dim_p):
-                    acc += np.outer(V[:, k], P[:, k])
                     accn += V[:, k] * V[:, k]
                 nc = np.sqrt(accn)
-                bits = np.where(acc >= 0.0, "1", "0")
                 ids = pdf["neighbor_id"].to_numpy()[ok]
                 for t in range(n_tab):
                     key = bits[:, t * n_pl:(t + 1) * n_pl]
@@ -270,31 +291,39 @@ def lsh_topk(
                             }
                         )
                     )
-            if not ok.all():
+            bad = np.flatnonzero(~ok)
+            if len(bad):
                 # null vector or length != dim: every plane-dot folds a
                 # null product, so the expression form bucketed these
                 # rows at all-"0" bits; norms still fold their own
-                # squares (null norm for a null vector)
-                for i in np.flatnonzero(~ok):
+                # squares (null norm for a null vector). Built as ONE
+                # frame per table with an explicit float dtype — a
+                # per-row all-None frame trips pandas' deprecated
+                # all-NA concat dtype inference.
+                bids, bcv, bnc = [], [], []
+                for i in bad:
                     v = cv[i]
-                    nrm = None
+                    nrm = np.nan
                     if v is not None:
                         a = 0.0
                         for x in v:
                             a += float(x) * float(x)
                         nrm = float(np.sqrt(a))
-                    for t in range(n_tab):
-                        frames.append(
-                            pd.DataFrame(
-                                {
-                                    "neighbor_id": [pdf["neighbor_id"].iloc[i]],
-                                    "cv": [v],
-                                    "nc": [nrm],
-                                    "tbl": t,
-                                    "bucket": ["0" * n_pl],
-                                }
-                            )
+                    bids.append(pdf["neighbor_id"].iloc[i])
+                    bcv.append(v)
+                    bnc.append(nrm)
+                for t in range(n_tab):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "neighbor_id": bids,
+                                "cv": bcv,
+                                "nc": np.array(bnc, dtype=np.float64),
+                                "tbl": t,
+                                "bucket": "0" * n_pl,
+                            }
                         )
+                    )
             yield pd.concat(frames)
 
     cb = c.mapInPandas(
@@ -573,11 +602,9 @@ def embedding_near_dups(
             if not len(pdf):
                 continue
             V = np.stack(pdf["vv"].to_numpy())
-            # EXACT left-fold dot per (vector, plane): sequential adds
-            acc = np.zeros((len(V), P.shape[0]))
-            for k in range(P.shape[1]):
-                acc += np.outer(V[:, k], P[:, k])
-            bits = np.where(acc >= 0.0, "1", "0")
+            # exact left-fold dots + Spark-semantics sign bits
+            # (NaN signs '1' — see _fold_plane_bits)
+            _, bits = _fold_plane_bits(V, P)
             out = []
             for t in range(n_tab):
                 key = bits[:, t * n_planes_per:(t + 1) * n_planes_per]
