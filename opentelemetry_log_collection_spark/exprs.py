@@ -327,8 +327,15 @@ def compile_expr(expression: str) -> Column:
 
 def compile_bool(expression: str) -> Column:
     """Compile to a boolean Column (expr.AsBool semantics:
-    operator/helper/transformer.go:66-72)."""
-    return _as_bool(_parse(expression))
+    operator/helper/transformer.go:66-72). The compiled tree is a
+    pure function of the source string, so it is memoized
+    process-wide (colmemo) — if-guards and router routes recompile
+    on every pipeline construction otherwise."""
+    from .colmemo import memo_column
+
+    return memo_column(
+        ("compile_bool", expression), lambda: _as_bool(_parse(expression))
+    )
 
 
 def _find_expr_spans(template: str) -> list[tuple[int, int, str]]:

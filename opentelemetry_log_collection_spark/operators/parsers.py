@@ -108,7 +108,21 @@ def onepass_map(src: Column, pattern_java: str, groups: dict[str, int]) -> Colum
     consumes the unmatched tail so nothing leaks into the last group.
     Rows where a group VALUE contains \\x01 (split count mismatch)
     fall back to guarded per-group extraction — branch evaluation is
-    per-row, so the fallback costs nothing on the happy path."""
+    per-row, so the fallback costs nothing on the happy path.
+
+    Pure function of its arguments; memoized process-wide (colmemo)
+    so repeated pipeline constructions reuse the built tree."""
+    from ..colmemo import memo_column
+
+    return memo_column(
+        ("onepass_map", str(src), pattern_java, tuple(groups.items())),
+        lambda: _build_onepass_map(src, pattern_java, groups),
+    )
+
+
+def _build_onepass_map(
+    src: Column, pattern_java: str, groups: dict[str, int]
+) -> Column:
     g = len(groups)
     repl = _MARK + _SEP.join(f"${idx}" for idx in groups.values())
     blob = F.regexp_replace(src, pattern_java + "(?s:.*)$", repl)
@@ -617,9 +631,20 @@ class UriParserStage(ParserStage):
         (uri.go:99-127) and the query JSON-encoded. urllib semantics:
         scheme/host lowercased, userinfo = authority before the LAST
         '@', username = userinfo before ':', port = trailing digits,
-        IPv6 brackets stripped."""
+        IPv6 brackets stripped.
+
+        The tree is a pure function of (impl, raw) and ~500 py4j
+        calls to build (measured ~0.5s per construction), so it is
+        memoized process-wide (colmemo)."""
         if self.impl != "builtin":
             return raw
+        from ..colmemo import memo_column
+
+        return memo_column(
+            ("uri_refine", str(raw)), lambda: self._build_refine(raw)
+        )
+
+    def _build_refine(self, raw: Column) -> Column:
 
         def g(k: str) -> Column:
             return F.try_element_at(raw, F.lit(k))

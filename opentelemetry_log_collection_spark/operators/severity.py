@@ -122,6 +122,22 @@ class SeverityParser:
         self.mapping, self.ranges = build_mapping(preset, mapping)
 
     def _lookup(self, src: Column) -> Column:
+        # pure function of (mapping, ranges, src): memoized — the
+        # literal probe map alone is ~2 py4j calls per entry, rebuilt
+        # on every pipeline construction otherwise
+        from ..colmemo import memo_column
+
+        return memo_column(
+            (
+                "severity_lookup",
+                tuple(self.mapping.items()),
+                tuple(self.ranges),
+                str(src),
+            ),
+            lambda: self._build_lookup(src),
+        )
+
+    def _build_lookup(self, src: Column) -> Column:
         if not self.mapping and not self.ranges:
             return F.lit(None).cast(T.IntegerType())
         # float inputs like 404.0 must probe as "404" (severity.go:66-75)
